@@ -1,0 +1,21 @@
+"""swimm_tpu — TPU-native Smith-Waterman protein database search.
+
+A brand-new TPU-native engine with the capabilities of the reference
+``enzorucci/SWIMM`` (see SURVEY.md for the full structural analysis of the
+reference; the reference mount was empty this round, so parity targets are
+cited as SURVEY.md sections rather than file:line).
+
+Layer map (SURVEY.md section 2, "new TPU framework" column):
+
+  L5  CLI                  swimm_tpu.cli           (swtpu preprocess / search)
+  L4  Pipeline             swimm_tpu.models.engine (db build + search driver)
+  L3  Distribution         swimm_tpu.parallel      (mesh, sharded search, top-k merge)
+  L2  Kernels              swimm_tpu.ops           (Pallas DP kernel + lax.scan path)
+  L1  Data                 swimm_tpu.alphabet/.matrices/.fasta/.db
+  L0  Results              swimm_tpu.models.results, swimm_tpu.utils.metrics
+"""
+
+__version__ = "0.1.0"
+
+from swimm_tpu.alphabet import encode, decode, ALPHABET, PAD_CODE
+from swimm_tpu.matrices import get_matrix, available_matrices

@@ -1,0 +1,80 @@
+"""FASTA reader/writer (L1 data layer).
+
+Parity target: reference component C2 (SURVEY.md section 3): read FASTA,
+keep titles, strip whitespace, encode residues. Streaming parser so a
+Swiss-Prot-scale database (~0.5M sequences) never holds raw text twice.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from swimm_tpu.alphabet import encode
+
+
+@dataclass
+class FastaRecord:
+    title: str          # header line without '>'
+    codes: np.ndarray   # uint8 residue codes in [0, 24)
+
+    @property
+    def length(self) -> int:
+        return int(self.codes.shape[0])
+
+
+def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
+    """Stream records from a FASTA file (path, or text handle)."""
+    own = False
+    if isinstance(path_or_handle, (str, os.PathLike)):
+        handle = open(path_or_handle, "r")
+        own = True
+    else:
+        handle = path_or_handle
+    try:
+        title = None
+        chunks: list[str] = []
+        for line in handle:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if title is not None:
+                    yield FastaRecord(title, encode("".join(chunks)))
+                title = line[1:].strip()
+                chunks = []
+            else:
+                if title is None:
+                    raise ValueError("FASTA data before first '>' header")
+                chunks.append(line)
+        if title is not None:
+            yield FastaRecord(title, encode("".join(chunks)))
+    finally:
+        if own:
+            handle.close()
+
+
+def read_fasta(path_or_handle) -> list[FastaRecord]:
+    return list(iter_fasta(path_or_handle))
+
+
+def parse_fasta_str(text: str) -> list[FastaRecord]:
+    return read_fasta(io.StringIO(text))
+
+
+def write_fasta(path, records, width: int = 60) -> None:
+    from swimm_tpu.alphabet import decode
+
+    with open(path, "w") as fh:
+        for rec in records:
+            if isinstance(rec, FastaRecord):
+                title, seq = rec.title, decode(rec.codes)
+            else:
+                title, seq = rec  # (title, str) tuple
+            fh.write(f">{title}\n")
+            for i in range(0, len(seq), width):
+                fh.write(seq[i:i + width] + "\n")

@@ -1,0 +1,93 @@
+"""Cross-validation of the two independent CPU oracles + golden alignments.
+
+SURVEY.md section 5: golden tests on published alignment examples plus
+randomized pairs, NumPy oracle vs the independently written C scorer.
+"""
+
+import numpy as np
+import pytest
+
+from swimm_tpu.alphabet import encode
+from swimm_tpu.matrices import get_matrix
+from swimm_tpu.ops import cref, reference
+from swimm_tpu.utils.synth import random_codes
+
+
+def test_durbin_blosum50_example():
+    # Durbin et al., "Biological Sequence Analysis", fig 2.6: local alignment
+    # of HEAGAWGHEE vs PAWHEAE under BLOSUM50 with linear gap penalty -8
+    # scores 28 (AWGHE / AW-HE). Linear -8 == gap_open=0, gap_extend=8 in our
+    # open+k*extend convention.
+    q = encode("HEAGAWGHEE")
+    d = encode("PAWHEAE")
+    m = get_matrix("BLOSUM50")
+    assert reference.sw_score(q, d, m, 0, 8) == 28
+    assert cref.sw_score(q, d, m, 0, 8) == 28
+
+
+def test_self_alignment_is_diagonal_sum():
+    q = encode("MKTAYIAKQR")
+    m = get_matrix("BLOSUM62")
+    expected = int(sum(m[c, c] for c in q))  # 5+5+5+4+7+4+4+5+5+5 = 49
+    assert expected == 49
+    assert reference.sw_score(q, q, m, 10, 2) == expected
+    assert cref.sw_score(q, q, m, 10, 2) == expected
+
+
+def test_gap_convention_first_residue_costs_open_plus_extend():
+    # Query AAWAA vs db AAAA under BLOSUM62.
+    # Cheap gaps (open=0, ext=1): AAWAA/AA-AA with W deleted costs 1,
+    # 4*4 - 1 = 15 (beats the W~A mismatch path 4+4-3+4 = 9).
+    # Standard 10/2: deleting W costs open+ext = 12 (first gap residue is
+    # charged open+extend), so the best is the mismatch path AAWA/AAAA = 9.
+    # If the convention were "first gap residue costs open only" (10), the
+    # gap path would give 16-10 = 6 — still < 9 — but with open=4, ext=2 the
+    # two conventions split: gap path = 16-6 = 10 vs 16-4 = 12.
+    m = get_matrix("BLOSUM62")
+    q = encode("AAWAA")
+    d = encode("AAAA")
+    assert reference.sw_score(q, d, m, 0, 1) == 15
+    assert cref.sw_score(q, d, m, 0, 1) == 15
+    assert reference.sw_score(q, d, m, 10, 2) == 9
+    assert cref.sw_score(q, d, m, 10, 2) == 9
+    # open=4, ext=2: open+k*ext convention -> 16 - (4+2) = 10.
+    assert reference.sw_score(q, d, m, 4, 2) == 10
+    assert cref.sw_score(q, d, m, 4, 2) == 10
+
+
+def test_empty_and_tiny():
+    m = get_matrix("BLOSUM62")
+    assert reference.sw_score(encode("A"), encode("A"), m, 10, 2) == 4
+    assert reference.sw_score(encode("W"), encode("A"), m, 10, 2) == 0  # max(0, -3)
+    assert cref.sw_score(encode("W"), encode("A"), m, 10, 2) == 0
+
+
+@pytest.mark.parametrize("gaps", [(10, 2), (12, 1), (5, 5), (0, 3)])
+@pytest.mark.parametrize("matname", ["BLOSUM62", "BLOSUM50", "PAM250"])
+def test_numpy_vs_c_random(rng, gaps, matname):
+    m = get_matrix(matname)
+    go, ge = gaps
+    for _ in range(15):
+        q = random_codes(rng, int(rng.integers(1, 80)))
+        d = random_codes(rng, int(rng.integers(1, 120)))
+        s_np = reference.sw_score(q, d, m, go, ge)
+        s_c = cref.sw_score(q, d, m, go, ge)
+        assert s_np == s_c, (q, d)
+
+
+def test_numpy_vs_c_with_ambiguity_codes(rng):
+    # include B/Z/X/* codes (0..23 full range)
+    m = get_matrix("BLOSUM62")
+    for _ in range(10):
+        q = rng.integers(0, 24, size=rng.integers(5, 60)).astype(np.uint8)
+        d = rng.integers(0, 24, size=rng.integers(5, 90)).astype(np.uint8)
+        assert reference.sw_score(q, d, m, 10, 2) == cref.sw_score(q, d, m, 10, 2)
+
+
+def test_score_many(rng):
+    m = get_matrix("BLOSUM62")
+    q = random_codes(rng, 40)
+    seqs = [random_codes(rng, int(rng.integers(10, 100))) for _ in range(12)]
+    s_np = reference.sw_score_many(q, seqs, m, 10, 2)
+    s_c = cref.sw_score_many(q, seqs, m, 10, 2)
+    np.testing.assert_array_equal(s_np, s_c)
