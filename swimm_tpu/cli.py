@@ -1,0 +1,128 @@
+"""swtpu CLI (L5, reference component C1 — SURVEY.md sections 3 and 6.6).
+
+Two subcommands mirroring the reference's op modes (SURVEY.md section 1
+item 1): ``preprocess`` (FASTA -> packed binary DB) and ``search`` (packed DB
++ query FASTA -> ranked top-k hit lists + GCUPS). Flag surface mirrors the
+reference's getopt knobs (-q/-d/-s/-g/-e/-r, SURVEY.md section 6.6) plus
+TPU-specific knobs (backend, precision policy, lane width, sharding).
+
+Also provides ``synth`` (generate synthetic FASTA — no network, so no
+Swiss-Prot download; SURVEY.md section 8 environment notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common_scoring_flags(p):
+    p.add_argument("-s", "--matrix", default="BLOSUM62",
+                   help="substitution matrix (BLOSUM45/50/62/80/90, PAM30/70/250)")
+    p.add_argument("-g", "--gap-open", type=int, default=10)
+    p.add_argument("-e", "--gap-extend", type=int, default=2)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="swtpu",
+        description="TPU-native Smith-Waterman protein database search")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("preprocess", help="pack a FASTA database")
+    pp.add_argument("-i", "--input", required=True, help="input FASTA")
+    pp.add_argument("-o", "--output", required=True, help="output DB directory")
+    pp.add_argument("--lanes", type=int, default=256,
+                    help="db sequences per vector block (V)")
+
+    se = sub.add_parser("search", help="search queries against a packed DB")
+    se.add_argument("-d", "--db", required=True, help="packed DB directory")
+    se.add_argument("-q", "--query", required=True, help="query FASTA")
+    _add_common_scoring_flags(se)
+    se.add_argument("-r", "--top-k", type=int, default=16)
+    se.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
+    se.add_argument("--precision", choices=["adaptive", "int32"], default="adaptive")
+    se.add_argument("--sharded", action="store_true",
+                    help="data-parallel search over all local devices")
+    se.add_argument("--json", action="store_true", help="JSON output")
+    se.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace here (SURVEY.md 6.1)")
+
+    sy = sub.add_parser("synth", help="generate a synthetic protein FASTA")
+    sy.add_argument("-o", "--output", required=True)
+    sy.add_argument("-n", "--n-seqs", type=int, default=10000)
+    sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--queries", default=None,
+                    help="optional query FASTA to plant homologs of")
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "preprocess":
+        from swimm_tpu.db import build_db
+        packed = build_db(args.input, args.output, V=args.lanes)
+        print(f"packed {packed.n_seqs} sequences "
+              f"({packed.total_residues} residues) into "
+              f"{len(packed.chunks)} chunks at {args.output}")
+        return 0
+
+    if args.command == "synth":
+        from swimm_tpu.fasta import read_fasta, write_fasta
+        from swimm_tpu.utils.synth import synth_db
+        queries = None
+        if args.queries:
+            queries = [r.codes for r in read_fasta(args.queries)]
+        recs = synth_db(args.n_seqs, seed=args.seed, queries=queries)
+        write_fasta(args.output, recs)
+        print(f"wrote {len(recs)} synthetic sequences to {args.output}")
+        return 0
+
+    if args.command == "search":
+        import contextlib
+
+        from swimm_tpu.db import load_db
+        from swimm_tpu.fasta import read_fasta
+        from swimm_tpu.models.engine import SearchConfig, search
+
+        packed = load_db(args.db)
+        queries = read_fasta(args.query)
+        config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
+                              gap_extend=args.gap_extend, top_k=args.top_k,
+                              backend=args.backend, precision=args.precision)
+        prof = contextlib.nullcontext()
+        if args.profile_dir:
+            import jax
+            prof = jax.profiler.trace(args.profile_dir)
+        with prof:
+            if args.sharded:
+                from swimm_tpu.parallel.sharded_search import sharded_search
+                results, metrics = sharded_search(packed, queries, config)
+            else:
+                results, metrics = search(packed, queries, config)
+        if args.json:
+            out = {
+                "results": [{"query": r.query_title,
+                             "hits": [{"rank": h.rank, "score": h.score,
+                                       "title": h.title} for h in r.hits]}
+                            for r in results],
+                "metrics": json.loads(metrics.to_json()),
+            }
+            print(json.dumps(out, indent=1))
+        else:
+            for r in results:
+                print(r.as_table())
+                print()
+            print(f"time: {metrics.seconds:.3f}s  GCUPS: {metrics.gcups:.2f} "
+                  f"(padded {metrics.padded_gcups:.2f})  "
+                  f"seqs/s: {metrics.seqs_per_sec:.0f}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,181 @@
+"""Packed binary database format (L1/L4: reference components C3 + C4).
+
+Parity target (SURVEY.md section 3, C3/C4 and section 4.1): the reference's
+``preprocess`` mode sorts sequences by length ascending, packs residues, and
+emits a binary blob + length/offset/title indexes, grouped into vector-lane
+blocks and chunks. TPU-first redesign:
+
+- Sequences are length-sorted ascending and assigned to **blocks of V lanes**
+  (V = lane count per DP step, default 256). Length sorting makes co-bucketed
+  lanes near-equal length, minimizing padding waste — the same reason the
+  reference sorts (SURVEY.md section 1, item 2).
+- Each block is padded to a quantized length L (multiples that grow with L,
+  bounding the number of distinct compiled kernel shapes), and consecutive
+  blocks with equal L form a **chunk**: one rectangular int8 array of shape
+  ``(n_blocks, L, V)`` with PAD_CODE fill. Rectangular static shapes are what
+  XLA/Pallas need (no ragged/dynamic shapes on the MXU/VPU path).
+- A versioned JSON manifest + .npy files enable memmap loading and per-shard
+  streaming (SURVEY.md section 6.4: the packed DB is a cached, versioned
+  input; per-shard layout enables multi-host loading).
+
+Layout notes: arrays are stored (n_blocks, L, V) so a DP step j reads the
+contiguous (V,) residue vector ``codes[b, j, :]`` — lanes are the minor axis,
+matching the kernel's lane-parallel layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from swimm_tpu.alphabet import PAD_CODE
+from swimm_tpu.fasta import FastaRecord, iter_fasta
+
+FORMAT_VERSION = 1
+
+# Length quantization: (max_len, multiple). Bounds distinct compiled shapes
+# while keeping padding waste low for short sequences.
+_LEN_QUANTA = ((512, 32), (2048, 128), (8192, 512), (1 << 30, 2048))
+
+
+def quantize_len(L: int) -> int:
+    for cap, q in _LEN_QUANTA:
+        if L <= cap:
+            return max(q, ((L + q - 1) // q) * q)
+    raise AssertionError
+
+
+@dataclass
+class DbChunk:
+    """One rectangular pack: n_blocks blocks of V lanes, all padded to L."""
+    chunk_id: int
+    L: int                 # padded sequence length
+    V: int                 # lanes per block
+    n_blocks: int
+    base: int              # first sorted-sequence index covered by this chunk
+    n_seqs: int            # true sequences in this chunk (rest are pad lanes)
+    codes: np.ndarray = field(repr=False)  # int8 (n_blocks, L, V)
+
+    @property
+    def padded_cells_per_query_residue(self) -> int:
+        return self.n_blocks * self.L * self.V
+
+
+@dataclass
+class PackedDb:
+    """In-memory handle to a packed database (memmap-backed when loaded)."""
+    chunks: list
+    lengths: np.ndarray     # int32, per sequence in sorted order
+    orig_index: np.ndarray  # int64, sorted position -> original FASTA position
+    titles: list
+    manifest: dict
+
+    @property
+    def n_seqs(self) -> int:
+        return int(self.manifest["n_seqs"])
+
+    @property
+    def total_residues(self) -> int:
+        return int(self.manifest["total_residues"])
+
+    def title_of_sorted(self, sorted_idx: int) -> str:
+        return self.titles[sorted_idx]
+
+
+def build_db(records, out_dir, V: int = 256) -> PackedDb:
+    """Pack FASTA records (iterable of FastaRecord, or a FASTA path).
+
+    Mirrors the reference preprocess call stack (SURVEY.md section 4.1):
+    load -> encode -> sort by length ASC -> V-lane blocks -> chunks -> write.
+    """
+    if isinstance(records, (str, os.PathLike)):
+        records = list(iter_fasta(records))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    lengths = np.array([r.length for r in records], dtype=np.int32)
+    order = np.argsort(lengths, kind="stable")
+    n = len(records)
+    n_blocks_total = (n + V - 1) // V
+
+    # Plan blocks: block b covers sorted positions [b*V, (b+1)*V).
+    block_L = np.zeros(n_blocks_total, dtype=np.int64)
+    for b in range(n_blocks_total):
+        hi = min((b + 1) * V, n)
+        max_len = int(lengths[order[b * V:hi]].max()) if hi > b * V else 1
+        block_L[b] = quantize_len(max_len)
+
+    # Group consecutive equal-L blocks into chunks.
+    chunks: list[DbChunk] = []
+    chunk_descs = []
+    b = 0
+    cid = 0
+    while b < n_blocks_total:
+        L = int(block_L[b])
+        e = b
+        while e < n_blocks_total and block_L[e] == L:
+            e += 1
+        nb = e - b
+        codes = np.full((nb, L, V), PAD_CODE, dtype=np.int8)
+        base = b * V
+        n_seqs_chunk = min(e * V, n) - base
+        for k in range(n_seqs_chunk):
+            rec = records[order[base + k]]
+            blk, lane = divmod(k, V)
+            codes[blk, :rec.length, lane] = rec.codes.astype(np.int8)
+        fname = f"chunk_{cid:04d}.npy"
+        np.save(out / fname, codes)
+        chunk_descs.append({
+            "chunk_id": cid, "L": L, "V": V, "n_blocks": nb,
+            "base": base, "n_seqs": n_seqs_chunk, "file": fname,
+        })
+        chunks.append(DbChunk(cid, L, V, nb, base, n_seqs_chunk, codes))
+        cid += 1
+        b = e
+
+    sorted_lengths = lengths[order].astype(np.int32)
+    np.save(out / "lengths.npy", sorted_lengths)
+    np.save(out / "orig_index.npy", order.astype(np.int64))
+    with open(out / "titles.txt", "w") as fh:
+        for i in order:
+            fh.write(records[i].title.replace("\n", " ") + "\n")
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "n_seqs": n,
+        "total_residues": int(lengths.sum()),
+        "V": V,
+        "n_chunks": len(chunk_descs),
+        "chunks": chunk_descs,
+        "len_quanta": [list(t) for t in _LEN_QUANTA],
+    }
+    with open(out / "manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+    titles = [records[i].title for i in order]
+    return PackedDb(chunks, sorted_lengths, order.astype(np.int64), titles, manifest)
+
+
+def load_db(db_dir, mmap: bool = True) -> PackedDb:
+    """Load a packed database; chunk arrays are memmapped by default
+    (parity: C4 mmap/fread loader, SURVEY.md section 3)."""
+    d = Path(db_dir)
+    with open(d / "manifest.json") as fh:
+        manifest = json.load(fh)
+    if manifest["format_version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported db format_version {manifest['format_version']}")
+    mode = "r" if mmap else None
+    chunks = []
+    for cd in manifest["chunks"]:
+        codes = np.load(d / cd["file"], mmap_mode=mode)
+        chunks.append(DbChunk(cd["chunk_id"], cd["L"], cd["V"], cd["n_blocks"],
+                              cd["base"], cd["n_seqs"], codes))
+    lengths = np.load(d / "lengths.npy")
+    orig_index = np.load(d / "orig_index.npy")
+    with open(d / "titles.txt") as fh:
+        titles = [line.rstrip("\n") for line in fh]
+    return PackedDb(chunks, lengths, orig_index, titles, manifest)

@@ -1,0 +1,35 @@
+import json
+
+from swimm_tpu.cli import main
+from swimm_tpu.fasta import write_fasta
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+def test_cli_pipeline(tmp_path, capsys):
+    dbfa = tmp_path / "db.fasta"
+    qfa = tmp_path / "q.fasta"
+    dbdir = tmp_path / "packed"
+
+    # synth
+    assert main(["synth", "-o", str(dbfa), "-n", "120", "--seed", "2"]) == 0
+    write_fasta(qfa, synth_queries(2, [30, 50], seed=4))
+
+    # preprocess
+    assert main(["preprocess", "-i", str(dbfa), "-o", str(dbdir),
+                 "--lanes", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "packed 120 sequences" in out
+
+    # search (human output)
+    assert main(["search", "-d", str(dbdir), "-q", str(qfa),
+                 "--backend", "xla", "-r", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "GCUPS" in out and "rank" in out
+
+    # search (JSON output)
+    assert main(["search", "-d", str(dbdir), "-q", str(qfa),
+                 "--backend", "xla", "-r", "5", "--json"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    assert len(payload["results"]) == 2
+    assert len(payload["results"][0]["hits"]) == 5
+    assert payload["metrics"]["gcups"] > 0

@@ -1,0 +1,55 @@
+"""End-to-end engine tests: ranked hit lists vs the C reference path
+(BASELINE config 1 at reduced scale; SURVEY.md section 5 implication 5)."""
+
+import numpy as np
+import pytest
+
+from swimm_tpu.db import build_db
+from swimm_tpu.matrices import get_matrix
+from swimm_tpu.models.engine import SearchConfig, search, top_k_hits
+from swimm_tpu.ops import cref
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+@pytest.fixture(scope="module")
+def small_world(tmp_path_factory):
+    queries = synth_queries(3, [40, 64, 100], seed=5)
+    recs = synth_db(300, seed=11, median_len=80, sigma=0.5, max_len=400,
+                    queries=[q.codes for q in queries], homolog_frac=0.05)
+    td = tmp_path_factory.mktemp("db")
+    packed = build_db(recs, td, V=32)
+    return recs, queries, packed
+
+
+def test_search_matches_c_reference(small_world):
+    recs, queries, packed = small_world
+    config = SearchConfig(backend="xla", top_k=10)
+    results, metrics = search(packed, queries, config)
+    m = get_matrix(config.matrix)
+    db_sorted = [recs[i].codes for i in packed.orig_index]
+    for q, res in zip(queries, results):
+        exp_scores = cref.sw_score_many(q.codes, db_sorted, m,
+                                        config.gap_open, config.gap_extend)
+        exp_hits = top_k_hits(packed, exp_scores.astype(np.int32), 10)
+        got = [(h.score, h.sorted_idx) for h in res.hits]
+        exp = [(h.score, h.sorted_idx) for h in exp_hits]
+        assert got == exp
+    assert metrics.cells > 0 and metrics.gcups > 0
+    assert metrics.n_queries == 3
+
+
+def test_planted_homologs_rank_first(small_world):
+    recs, queries, packed = small_world
+    results, _ = search(packed, queries, SearchConfig(backend="xla", top_k=5))
+    # at least one planted homolog should dominate the top hits overall
+    top_titles = " ".join(h.title for r in results for h in r.hits[:3])
+    assert "planted_homolog" in top_titles
+
+
+def test_topk_deterministic_tiebreak(small_world):
+    _, _, packed = small_world
+    scores = np.zeros(packed.n_seqs, dtype=np.int32)
+    scores[5] = scores[3] = scores[7] = 10
+    hits = top_k_hits(packed, scores, 3)
+    assert [h.sorted_idx for h in hits] == [3, 5, 7]
+    assert [h.rank for h in hits] == [1, 2, 3]
