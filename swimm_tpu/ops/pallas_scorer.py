@@ -7,32 +7,41 @@ TPU kernel, because on TPU vector width is a tiling parameter, not an ISA
 
 Design (TPU-first, not a translation — SURVEY.md section 8, M3):
 
-- **Inter-task layout**: each kernel invocation advances a block of Vk=128
-  database sequences (one per position of the minor-most dimension pairing)
-  against the whole query (SWIPE-style inter-task vectorization, SURVEY.md
-  section 1 item 2). DP state tiles are (Vk, m): db lanes on sublanes,
-  query positions on the 128-wide lane axis.
-- **DP state in VMEM scratch**, persistent across grid steps: H, E, Smax
+- **Inter-task layout** (SWIPE-style, SURVEY.md section 1 item 2): each
+  kernel block advances Vk=128 database sequences — one per hardware lane —
+  against the whole query. DP state tiles are (m, Vk): query positions on
+  sublanes, db lanes on the 128-wide lane axis.
+- **DP state in VMEM scratch**, persistent across grid steps: H', E', Smax'
   never touch HBM during the scan; only the (Jt, Vk) int8 residue tile
   streams in per grid step (auto double-buffered by the Pallas pipeline).
   This is the TPU analog of the reference's L1/L2-resident H/E columns
   (SURVEY.md section 6.7); the pure-XLA scan path round-trips its carried
-  state through HBM every step and measures ~10x slower on v5e.
-- **MXU scoring, one matmul per tile**: substitution scores for ALL Jt db
-  steps of the tile are computed at once as
-  ``onehot(d) (Jt*Vk, 32) @ QP (32, m)`` and staged in a VMEM scratch
-  indexed by the leading (untiled) dimension — the TPU-native form of the
-  reference's score-profile construction (C6): the inner loop does zero
-  table lookups.
-- **Column-vectorized two-pass recurrence** (same math as xla_scorer.py):
-  Ht = max(0, Hdiag + S, E) vectorized over the whole query column, then F
-  recovered exactly with a log-depth cumulative max along the query axis.
-  The reference's sequential per-cell chain (SURVEY.md section 4.2) would
-  leave the VPU >90% idle on TPU.
-- Compute dtype is float32 by default: the VPU is float-native and f32
-  represents alignment scores exactly up to 2^24. An int32 variant exists
-  (bit-identical by construction; used to cross-check) and narrow tiers for
-  the adaptive-precision ladder live in ops/ladder.py.
+  state through HBM every step and measures ~2.3x slower on v5e.
+- **MXU scoring**: per db step, substitution scores for all lanes come from
+  one ``QP^T (m,32) @ onehot(d) (32,Vk)`` matmul — the TPU-native form of
+  the reference's score-profile construction (C6): zero table lookups in
+  the inner loop. The j loop is statically unrolled so the int8 tile loads
+  use provably-aligned sublane indices.
+- **Ramped-space recurrence**: the whole DP runs on shifted variables
+  ``X'(i) = X(i) + (i+1)*ge`` with ``ge`` folded into the query profile.
+  This absorbs the gap-extension decay so that F recovery becomes a plain
+  running max (no per-step ramp arithmetic), and the Smith-Waterman zero
+  floor becomes a max against a precomputed ramp vector.
+- **Two-pass exact F** (same math as xla_scorer.py): Ht' is computed
+  vectorized over the whole query column ignoring F, then F is recovered
+  EXACTLY as an exclusive cumulative max of Ht' — valid because a gap can
+  never profitably re-open inside a gap when gap_open >= 0 (the classic
+  lazy-F argument; context: PAPERS.md arXiv:1909.00899). The reference's
+  sequential per-cell chain (SURVEY.md section 4.2) would leave the TPU VPU
+  >90% idle; this formulation is full-tile VPU work.
+- **Hierarchical cummax**: within-tile cumulative max over 8-sublane groups
+  (3 shifted maxes on a (m/8, 8, Vk) view = per-tile sublane shifts), a
+  group-maxima prefix pass on the small (m/8, Vk) array, and one broadcast
+  merge — ~9 full-tile ops regardless of m, vs 2*log2(m) for the naive
+  log-shift ladder.
+- Compute dtype float32 or int32 (bit-identical results; both exact — f32
+  holds integers exactly to 2^24). Narrow tiers for the adaptive-precision
+  ladder live in ops/ladder.py.
 
 Padding contract: PAD residues score PAD_SCORE (-64) against everything,
 keeping every pad cell's H at 0 and pad-row values strictly dominated —
@@ -52,10 +61,11 @@ from jax.experimental.pallas import tpu as pltpu
 from swimm_tpu.alphabet import TABLE_CODES
 
 LANE = 128
+SUB = 8  # sublanes per native f32/i32 tile
 
 
-def _neg(dtype):
-    return jnp.array(-(1 << 28) if dtype == jnp.int32 else -3e8, dtype)
+def _negval(dtype):
+    return -(1 << 28) if dtype == jnp.int32 else -3e8
 
 
 def pick_jt(m: int) -> int:
@@ -70,69 +80,102 @@ def max_query_pad() -> int:
     return 2048
 
 
-def _shift_cols(x, k, fill):
-    """Shift columns right by k along the query (lane) axis:
-    col i <- col i-k."""
+def _shift_rows(x, k, fill):
+    """Shift rows down by k along axis 0 (query axis): row i <- row i-k."""
     if k == 0:
         return x
-    return jnp.pad(x[:, :-k], ((0, 0), (k, 0)), constant_values=fill)
+    return jnp.pad(x[:-k, :], ((k, 0), (0, 0)), constant_values=fill)
 
 
-def _dp_kernel(qp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
+def _excl_cummax_rows(ht, neg):
+    """Exclusive cumulative max along axis 0 of (m, Vk), hierarchical.
+
+    out[i] = max(ht[0..i-1]), out[0] = neg.
+    """
+    m, vk = ht.shape
+    x = _shift_rows(ht, 1, neg)           # exclusive: shift first
+    if m <= SUB:
+        g, k = x, 1
+        while k < m:
+            g = jnp.maximum(g, _shift_rows(g, k, neg))
+            k *= 2
+        return g
+    nch = m // SUB
+    x3 = x.reshape(nch, SUB, vk)
+    g3 = x3
+    k = 1
+    while k < SUB:
+        # shift within each 8-row group: per-tile sublane shift, no carry
+        g3 = jnp.maximum(g3, jnp.pad(g3[:, :-k, :], ((0, 0), (k, 0), (0, 0)),
+                                     constant_values=neg))
+        k *= 2
+    gmax = jnp.max(x3, axis=1)            # (nch, Vk) group maxima
+    # exclusive prefix max over groups (small array, log-shift ladder)
+    c = _shift_rows(gmax, 1, neg)
+    k = 1
+    while k < nch:
+        c = jnp.maximum(c, _shift_rows(c, k, neg))
+        k *= 2
+    g3 = jnp.maximum(g3, c[:, None, :])   # broadcast group carry
+    return g3.reshape(m, vk)
+
+
+def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
                jt_steps: int, n_jt: int, goe: int, ge: int, dtype):
     """One grid step: advance one 128-lane block by jt_steps db residues.
 
     Grid = (B, n_jt), jt fastest. Scratch (persistent across jt):
-      h_ref/e_ref/smax_ref: (Vk, m) DP state.
-
-    The j loop is statically unrolled: static sublane indices keep the int8
-    tile loads legal, and each step's substitution scores come from one
-    transposed-contraction matmul onehot(32,Vk)^T-dot-QP(32,m) -> (Vk, m)
-    on the MXU, which Mosaic pipelines against the previous step's VPU work.
+      h_ref/e_ref/smax_ref: (m, Vk) ramped-space DP state.
+    Inputs: qpt_ref (m, 32) ge-folded query profile (transposed);
+            ramp_ref (m, 1) ramp vector r(i) = (i+1)*ge.
     """
     jt = pl.program_id(1)
-    vk, m = h_ref.shape
-    neg = _neg(dtype)
+    m, vk = h_ref.shape
+    neg = _negval(dtype)
+    c1 = ge - goe
+
+    ramp = ramp_ref[:].astype(dtype)                     # (m, 1)
 
     @pl.when(jt == 0)
     def _init():
-        h_ref[:] = jnp.zeros_like(h_ref)
+        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))       # H = 0 in real space
         e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.zeros_like(smax_ref)
+        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))    # Smax = 0 real
 
-    qp = qp_ref[:].astype(jnp.bfloat16)                  # (32, m)
+    qpt = qpt_ref[:].astype(jnp.bfloat16)                # (m, 32), has +ge
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-    # ramp(i) = (i+1)*ge along the query (lane) axis.
-    ramp = ((jax.lax.broadcasted_iota(jnp.int32, (1, m), 1) + 1) * ge).astype(dtype)
 
+    # Carry H/E as values across the unrolled loop (one VMEM load/store per
+    # tile instead of per step); merge the running column max into Smax only
+    # every SMAX_MERGE steps.
+    SMAX_MERGE = 8
+    h = h_ref[:]
+    e = e_ref[:]
+    colmax = None
     for j in range(jt_steps):
         d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)  # (32, Vk)
-        s = jax.lax.dot_general(
-            onehot, qp, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype)     # (Vk, m)
+        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
+        s = jnp.dot(qpt, onehot,
+                    preferred_element_type=jnp.float32).astype(dtype)  # (m, Vk)
 
-        h_prev = h_ref[:]
-        e_new = jnp.maximum(h_prev - goe, e_ref[:] - ge)
-        hdiag = _shift_cols(h_prev, 1, 0)
-        ht = jnp.maximum(jnp.maximum(hdiag + s, e_new), 0)
+        e = jnp.maximum(h - goe, e - ge)
+        hd = _shift_rows(h, 1, 0)                        # ramped Hdiag
+        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)   # ramp = 0-floor
 
-        # F via log-depth cumulative max along the query axis.
-        g = ht + (ramp - goe)
-        k = 1
-        while k < m:
-            g = jnp.maximum(g, _shift_cols(g, k, neg))
-            k *= 2
-        f = _shift_cols(g, 1, neg) - ramp + ge
-        h_new = jnp.maximum(ht, f)
+        f = _excl_cummax_rows(ht, neg) + c1
+        h = jnp.maximum(ht, f)
 
-        h_ref[:] = h_new
-        e_ref[:] = e_new
-        smax_ref[:] = jnp.maximum(smax_ref[:], h_new)
+        colmax = h if colmax is None else jnp.maximum(colmax, h)
+        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
+            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
+            colmax = None
+    h_ref[:] = h
+    e_ref[:] = e
 
     @pl.when(jt == n_jt - 1)
     def _write():
-        mx = jnp.max(smax_ref[:], axis=1).astype(jnp.int32)   # (Vk,) per-lane
+        score = jnp.max(smax_ref[:] - ramp, axis=0)      # un-ramp, (Vk,)
+        mx = score.astype(jnp.int32)
         out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
 
 
@@ -141,15 +184,15 @@ def _dp_kernel(qp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
                                              "interpret"))
 def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
                 gap_open: int, gap_extend: int,
-                precision: str = "f32", jt_steps: int | None = None,
+                precision: str = "int32", jt_steps: int | None = None,
                 interpret: bool = False) -> jnp.ndarray:
     """Score every lane of one packed chunk against one query (Pallas).
 
     Args:
       codes: (B, L, V) int8 packed db codes; V % 128 == 0 (or interpret
         mode); L % 32 == 0 (guaranteed by db.py length quantization).
-      qp: (32, m) int32 query profile; m % 128 == 0, m <= max_query_pad().
-      precision: 'f32' | 'int32' (bit-identical; f32 fastest on the VPU).
+      qp: (32, m) int32 query profile; m % 8 == 0, m <= max_query_pad().
+      precision: 'int32' | 'f32' (bit-identical exact scores).
 
     Returns: (B, V) int32 exact local-alignment scores.
     """
@@ -165,6 +208,11 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     G = V // vk
     n_jt = L // jt_steps
     dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
+
+    # ge-folded, transposed profile and the ramp vector (host-side consts).
+    qpt = (qp.T + gap_extend).astype(jnp.int32)          # (m, 32)
+    ramp = ((jnp.arange(m, dtype=jnp.int32) + 1)
+            * gap_extend).reshape(m, 1)
 
     # Normalize to 128-lane blocks: (B, L, G, vk) -> (B*G, L, vk). No-op
     # when V == 128 (the pack default); an XLA transpose otherwise.
@@ -182,7 +230,9 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
         kernel,
         grid=(Bn, n_jt),
         in_specs=[
-            pl.BlockSpec((TABLE_CODES, m), lambda b, jt: (0, 0),
+            pl.BlockSpec((m, TABLE_CODES), lambda b, jt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda b, jt: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, jt_steps, vk), lambda b, jt: (b, jt, 0),
                          memory_space=pltpu.VMEM),
@@ -191,16 +241,16 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bn, 8, vk), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((vk, m), dtype),                 # H
-            pltpu.VMEM((vk, m), dtype),                 # E
-            pltpu.VMEM((vk, m), dtype),                 # Smax
+            pltpu.VMEM((m, vk), dtype),                 # H'
+            pltpu.VMEM((m, vk), dtype),                 # E'
+            pltpu.VMEM((m, vk), dtype),                 # Smax'
         ],
         cost_estimate=pl.CostEstimate(
-            flops=(2 * TABLE_CODES + 12) * m * vk * jt_steps * Bn * n_jt,
+            flops=(2 * TABLE_CODES + 20) * m * vk * jt_steps * Bn * n_jt,
             bytes_accessed=codes.size + 4 * Bn * vk,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp.astype(jnp.int32), codes_n)
+    )(qpt, ramp, codes_n)
     out = out[:, 0, :].reshape(B, V)
     return out
