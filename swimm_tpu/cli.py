@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     pp = sub.add_parser("preprocess", help="pack a FASTA database")
     pp.add_argument("-i", "--input", required=True, help="input FASTA")
     pp.add_argument("-o", "--output", required=True, help="output DB directory")
-    pp.add_argument("--lanes", type=int, default=256,
+    pp.add_argument("--lanes", type=int, default=128,
                     help="db sequences per vector block (V)")
 
     se = sub.add_parser("search", help="search queries against a packed DB")
@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_scoring_flags(se)
     se.add_argument("-r", "--top-k", type=int, default=16)
     se.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
-    se.add_argument("--precision", choices=["adaptive", "int32"], default="adaptive")
+    se.add_argument("--precision", choices=["adaptive", "f32", "int32"],
+                    default="adaptive")
     se.add_argument("--sharded", action="store_true",
                     help="data-parallel search over all local devices")
     se.add_argument("--json", action="store_true", help="JSON output")

@@ -6,7 +6,8 @@ emits a binary blob + length/offset/title indexes, grouped into vector-lane
 blocks and chunks. TPU-first redesign:
 
 - Sequences are length-sorted ascending and assigned to **blocks of V lanes**
-  (V = lane count per DP step, default 256). Length sorting makes co-bucketed
+  (V = lane count per DP step, default 128 = the TPU vector lane width, so a
+  packed block maps 1:1 onto a kernel lane block). Length sorting makes co-bucketed
   lanes near-equal length, minimizing padding waste — the same reason the
   reference sorts (SURVEY.md section 1, item 2).
 - Each block is padded to a quantized length L (multiples that grow with L,
@@ -86,7 +87,7 @@ class PackedDb:
         return self.titles[sorted_idx]
 
 
-def build_db(records, out_dir, V: int = 256) -> PackedDb:
+def build_db(records, out_dir, V: int = 128) -> PackedDb:
     """Pack FASTA records (iterable of FastaRecord, or a FASTA path).
 
     Mirrors the reference preprocess call stack (SURVEY.md section 4.1):

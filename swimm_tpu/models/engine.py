@@ -74,6 +74,10 @@ def _chunk_scorer(config: SearchConfig):
         return lambda codes, qp: xla_scorer.score_chunk(
             codes, qp, config.gap_open, config.gap_extend)
     elif backend == "pallas":
+        if config.precision == "adaptive":
+            from swimm_tpu.ops import ladder
+            return lambda codes, qp: ladder.score_chunk_adaptive(
+                codes, qp, config.gap_open, config.gap_extend)[0]
         from swimm_tpu.ops import pallas_scorer
         return lambda codes, qp: pallas_scorer.score_chunk(
             codes, qp, config.gap_open, config.gap_extend,
@@ -100,8 +104,14 @@ def top_k_hits(packed: PackedDb, scores: np.ndarray, k: int) -> list:
 
     Ties broken by sorted index ascending (deterministic)."""
     k = min(k, len(scores))
-    idx = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else np.arange(len(scores))
-    idx = idx[np.lexsort((idx, -scores[idx]))]
+    if k < len(scores):
+        # include ALL candidates tied with the k-th score so the final
+        # (score desc, index asc) order is deterministic at the boundary
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.nonzero(scores >= kth)[0]
+    else:
+        cand = np.arange(len(scores))
+    idx = cand[np.lexsort((cand, -scores[cand]))][:k]
     return [Hit(r + 1, int(scores[i]), int(i), int(packed.orig_index[i]),
                 packed.title_of_sorted(int(i)))
             for r, i in enumerate(idx)]

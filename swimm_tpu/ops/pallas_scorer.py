@@ -121,7 +121,8 @@ def _excl_cummax_rows(ht, neg):
 
 
 def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
-               jt_steps: int, n_jt: int, goe: int, ge: int, dtype):
+               jt_steps: int, n_jt: int, goe: int, ge: int, dtype,
+               ceiling: int | None):
     """One grid step: advance one 128-lane block by jt_steps db residues.
 
     Grid = (B, n_jt), jt fastest. Scratch (persistent across jt):
@@ -164,6 +165,11 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
 
         f = _excl_cummax_rows(ht, neg) + c1
         h = jnp.maximum(ht, f)
+        if ceiling is not None:
+            # saturating tier: clamp real H at `ceiling` (ramped: ceil+r(i));
+            # lanes that touch the ceiling are flagged for recompute at the
+            # next wider tier (SURVEY.md section 4.4 adaptive precision).
+            h = jnp.minimum(h, ramp + ceiling)
 
         colmax = h if colmax is None else jnp.maximum(colmax, h)
         if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
@@ -181,11 +187,12 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
                                              "precision", "jt_steps",
-                                             "interpret"))
+                                             "interpret", "ceiling"))
 def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
                 gap_open: int, gap_extend: int,
-                precision: str = "int32", jt_steps: int | None = None,
-                interpret: bool = False) -> jnp.ndarray:
+                precision: str = "f32", jt_steps: int | None = None,
+                interpret: bool = False,
+                ceiling: int | None = None) -> jnp.ndarray:
     """Score every lane of one packed chunk against one query (Pallas).
 
     Args:
@@ -224,7 +231,8 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
 
     kernel = functools.partial(
         _dp_kernel, jt_steps=jt_steps, n_jt=n_jt,
-        goe=gap_open + gap_extend, ge=gap_extend, dtype=dtype)
+        goe=gap_open + gap_extend, ge=gap_extend, dtype=dtype,
+        ceiling=ceiling)
 
     out = pl.pallas_call(
         kernel,

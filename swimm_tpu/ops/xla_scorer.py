@@ -56,18 +56,24 @@ def _score_tile(d_codes: jnp.ndarray, qp_bf16: jnp.ndarray) -> jnp.ndarray:
     return s.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
+@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
+                                             "ceiling"))
 def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
-                gap_open: int, gap_extend: int) -> jnp.ndarray:
+                gap_open: int, gap_extend: int,
+                ceiling: int | None = None) -> jnp.ndarray:
     """Score every lane of one packed chunk against one query.
 
     Args:
       codes: (n_blocks, L, V) int8 packed db residue codes (PAD-filled).
       qp:    (32, m_pad) int32 query profile.
       gap_open, gap_extend: static ints.
+      ceiling: if set, clamp H at this value per cell (saturating narrow
+        tier of the adaptive-precision ladder, SURVEY.md section 4.4);
+        lanes that ever clamp finish with score == ceiling exactly, so the
+        ladder driver can flag them for recompute. None = exact.
 
     Returns:
-      (n_blocks, V) int32 exact local-alignment scores.
+      (n_blocks, V) int32 local-alignment scores (exact when ceiling=None).
     """
     B, L, V = codes.shape
     m = qp.shape[1]
@@ -92,6 +98,8 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
         G = jax.lax.cummax(A, axis=1)
         F = jnp.pad(G[:, :-1], ((0, 0), (1, 0)), constant_values=NEG) - ramp[None, :] + ge
         H = jnp.maximum(Ht, F)
+        if ceiling is not None:
+            H = jnp.minimum(H, jnp.int32(ceiling))
         Smax = jnp.maximum(Smax, H)
         return (H, E, Smax), None
 

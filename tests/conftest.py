@@ -16,6 +16,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu";
+# override it so the unit suite really runs on the 8-device virtual CPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

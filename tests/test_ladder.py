@@ -1,0 +1,58 @@
+"""Adaptive-precision ladder invariant (SURVEY.md section 4.4):
+ladder final scores must be IDENTICAL to an all-exact run, and saturated
+lanes must actually escalate."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from swimm_tpu.alphabet import PAD_CODE
+from swimm_tpu.models.profile import build_query_profile
+from swimm_tpu.ops import xla_scorer
+from swimm_tpu.ops.ladder import INT8_CEIL, score_chunk_adaptive
+from swimm_tpu.utils.synth import mutate, random_codes
+
+
+def _world(rng, with_homolog=True):
+    q = random_codes(rng, 120)
+    qp = jnp.asarray(build_query_profile(q))
+    B, L, V = 3, 160, 8
+    codes = np.full((B, L, V), PAD_CODE, dtype=np.int8)
+    for k in range(B * V):
+        b, v = divmod(k, V)
+        if with_homolog and k in (2, 9):
+            s = mutate(rng, q, sub_rate=0.02, indel_rate=0.0)  # score >> 127
+        else:
+            s = random_codes(rng, int(rng.integers(20, L)))
+        codes[b, :min(len(s), L), v] = s[:L]
+    return q, qp, codes
+
+
+def test_ladder_equals_exact(rng):
+    q, qp, codes = _world(rng)
+    exact = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2))
+    scores, stats = score_chunk_adaptive(codes, qp, 10, 2, backend="xla")
+    np.testing.assert_array_equal(scores, exact)
+    # homolog lanes saturate int8 tier -> at least one block escalated
+    assert exact.max() > INT8_CEIL
+    assert stats["tier_blocks"][1] >= 1
+
+
+def test_ladder_no_saturation_short_circuits(rng):
+    q, qp, codes = _world(rng, with_homolog=False)
+    exact = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2))
+    assert exact.max() < INT8_CEIL  # random seqs never reach 127
+    scores, stats = score_chunk_adaptive(codes, qp, 10, 2, backend="xla")
+    np.testing.assert_array_equal(scores, exact)
+    assert stats["tier_blocks"][1] == 0  # nothing escalated
+
+
+def test_narrow_tier_clamps_at_ceiling(rng):
+    q, qp, codes = _world(rng)
+    clamped = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2,
+                                                ceiling=INT8_CEIL))
+    exact = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2))
+    assert clamped.max() == INT8_CEIL
+    # unsaturated lanes are exact
+    mask = exact < INT8_CEIL
+    np.testing.assert_array_equal(clamped[mask], exact[mask])
+    assert (clamped[~mask] == INT8_CEIL).all()

@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 5, implication 4)."""
+
+import numpy as np
+import pytest
+
+from swimm_tpu.db import build_db
+from swimm_tpu.models.engine import SearchConfig, search
+from swimm_tpu.parallel.mesh import balanced_2d, make_mesh
+from swimm_tpu.parallel.sharded_search import sharded_search
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    queries = synth_queries(4, [40, 64, 100, 30], seed=5)
+    recs = synth_db(200, seed=11, median_len=60, sigma=0.4, max_len=200,
+                    queries=[q.codes for q in queries], homolog_frac=0.05)
+    td = tmp_path_factory.mktemp("db")
+    packed = build_db(recs, td, V=16)
+    cfg = SearchConfig(backend="xla", top_k=8)
+    serial, _ = search(packed, queries, cfg)
+    return packed, queries, cfg, serial
+
+
+def test_balanced_2d():
+    assert balanced_2d(8) == (4, 2)
+    assert balanced_2d(16) == (4, 4)
+    assert balanced_2d(7) == (7, 1)
+    assert balanced_2d(1) == (1, 1)
+
+
+@pytest.mark.parametrize("query_axis", [1, 2, 4])
+def test_sharded_matches_serial(world, query_axis):
+    packed, queries, cfg, serial = world
+    mesh = make_mesh(8, query_axis=query_axis)
+    shard, metrics = sharded_search(packed, queries, cfg, mesh=mesh)
+    for r1, r2 in zip(serial, shard):
+        h1 = [(h.score, h.sorted_idx) for h in r1.hits]
+        h2 = [(h.score, h.sorted_idx) for h in r2.hits]
+        assert h1 == h2, (r1.query_title, h1, h2)
+    assert metrics.n_queries == len(queries)
+    assert metrics.gcups > 0
+
+
+def test_single_device_mesh(world):
+    packed, queries, cfg, serial = world
+    mesh = make_mesh(1)
+    shard, _ = sharded_search(packed, queries, cfg, mesh=mesh)
+    for r1, r2 in zip(serial, shard):
+        assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+               [(h.score, h.sorted_idx) for h in r2.hits]
+
+
+def test_uneven_blocks_padding(world):
+    # a chunk whose block count doesn't divide the data axis must pad
+    packed, queries, cfg, serial = world
+    mesh = make_mesh(8, query_axis=1)  # data axis 8; chunks have few blocks
+    shard, _ = sharded_search(packed, queries, cfg, mesh=mesh)
+    assert [(h.score, h.sorted_idx) for h in shard[0].hits] == \
+           [(h.score, h.sorted_idx) for h in serial[0].hits]
