@@ -74,14 +74,21 @@ def _chunk_scorer(config: SearchConfig):
         return lambda codes, qp: xla_scorer.score_chunk(
             codes, qp, config.gap_open, config.gap_extend)
     elif backend == "pallas":
-        if config.precision == "adaptive":
-            from swimm_tpu.ops import ladder
-            return lambda codes, qp: ladder.score_chunk_adaptive(
-                codes, qp, config.gap_open, config.gap_extend)[0]
-        from swimm_tpu.ops import pallas_scorer
-        return lambda codes, qp: pallas_scorer.score_chunk(
-            codes, qp, config.gap_open, config.gap_extend,
-            precision=config.precision)
+        from swimm_tpu.ops import ladder, longquery, pallas_scorer
+
+        def dispatch(codes, qp):
+            if qp.shape[1] > pallas_scorer.max_query_pad():
+                # long-query tiled path (M5); always exact
+                return longquery.score_chunk_long(
+                    codes, qp, config.gap_open, config.gap_extend)
+            if config.precision == "adaptive":
+                return ladder.score_chunk_adaptive(
+                    codes, qp, config.gap_open, config.gap_extend)[0]
+            return pallas_scorer.score_chunk(
+                codes, qp, config.gap_open, config.gap_extend,
+                precision=config.precision)
+
+        return dispatch
     raise ValueError(f"unknown backend {backend!r}")
 
 
