@@ -92,6 +92,24 @@ def _chunk_scorer(config: SearchConfig):
     raise ValueError(f"unknown backend {backend!r}")
 
 
+_DEVICE_CHUNK_CACHE: dict = {}
+
+
+def device_chunks(packed: PackedDb):
+    """Device-resident DB: upload each chunk's codes to HBM once and reuse
+    across queries. This is the production serving model (BASELINE: the DB
+    lives sharded in device memory; queries stream against it) — and on
+    this dev setup it avoids re-sending the DB over the TPU tunnel per
+    query. Cache is keyed by the PackedDb identity."""
+    key = id(packed)
+    cached = _DEVICE_CHUNK_CACHE.get(key)
+    if cached is None:
+        cached = [jnp.asarray(np.ascontiguousarray(ch.codes))
+                  for ch in packed.chunks]
+        _DEVICE_CHUNK_CACHE[key] = cached
+    return cached
+
+
 def score_db(packed: PackedDb, query: FastaRecord,
              config: SearchConfig) -> np.ndarray:
     """All-lane scores for one query, in sorted-db order (n_seqs,)."""
@@ -99,11 +117,87 @@ def score_db(packed: PackedDb, query: FastaRecord,
     qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
                                          config.m_multiple))
     out = np.zeros(packed.n_seqs, dtype=np.int32)
-    for ch in packed.chunks:
-        scores = scorer(jnp.asarray(np.ascontiguousarray(ch.codes)), qp)
+    dev = device_chunks(packed)
+    # dispatch all chunks asynchronously, then drain (overlaps host loop
+    # with device compute — the TPU analog of SURVEY.md section 8's
+    # double-buffered input pipeline)
+    pending = [(ch, scorer(codes_dev, qp))
+               for ch, codes_dev in zip(packed.chunks, dev)]
+    for ch, scores in pending:
         flat = np.asarray(scores).reshape(-1)[:ch.n_seqs]
         out[ch.base:ch.base + ch.n_seqs] = flat
     return out
+
+
+_SEARCH_STEP_CACHE: dict = {}
+
+
+def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
+    """Build a jitted whole-DB search step: ONE device dispatch scores every
+    chunk and reduces to the global top-k on device; only k (score, index)
+    pairs come back to the host.
+
+    This is the serving fast path: with the DB resident in HBM, per-query
+    work is a single dispatch regardless of chunk count (the reference's
+    per-chunk OpenMP work queue has no dispatch-latency analog on TPU, but
+    a 24-chunk DB would otherwise cost 24 host round-trips per query).
+
+    Pad lanes are masked to -1 on device so the (score desc, index asc)
+    order matches top_k_hits exactly (lax.top_k breaks ties by lowest
+    index).
+    """
+    key = (id(packed), config.gap_open, config.gap_extend,
+           config.resolve_backend(), config.precision, k)
+    hit = _SEARCH_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    scorer = _chunk_scorer(config)
+    # valid-lane mask over the concatenated flat lanes of all chunks
+    total = sum(ch.n_blocks * ch.V for ch in packed.chunks)
+    mask = np.zeros(total, dtype=bool)
+    off = 0
+    offsets = []
+    for ch in packed.chunks:
+        n = ch.n_blocks * ch.V
+        mask[off:off + n][:ch.n_seqs] = True
+        offsets.append((off, ch.base))
+        off += n
+    mask_dev = jnp.asarray(mask)
+    # flat lane -> sorted db index (pad lanes map to 0; masked out anyway)
+    lane2sorted = np.zeros(total, dtype=np.int32)
+    off = 0
+    for ch in packed.chunks:
+        n = ch.n_blocks * ch.V
+        lane2sorted[off:off + n] = np.minimum(np.arange(n), ch.n_seqs - 1) + ch.base
+        off += n
+    lane2sorted_dev = jnp.asarray(lane2sorted)
+
+    @jax.jit
+    def step(qp, *chunk_codes):
+        flats = [scorer(c, qp).reshape(-1) for c in chunk_codes]
+        scores = jnp.concatenate(flats)
+        scores = jnp.where(mask_dev, scores, -1)
+        v, i = jax.lax.top_k(scores, min(k, total))
+        return v, lane2sorted_dev[i]
+
+    _SEARCH_STEP_CACHE[key] = step
+    return step
+
+
+def search_fused(packed: PackedDb, query: FastaRecord, config: SearchConfig):
+    """One-dispatch whole-DB search for one query; returns hit list."""
+    step = _fused_search_step(packed, config, config.top_k)
+    qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
+                                         config.m_multiple))
+    dev = device_chunks(packed)
+    v, si = step(qp, *dev)
+    v = np.asarray(v)
+    si = np.asarray(si)
+    keep = v >= 0
+    return [Hit(r + 1, int(v[j]), int(si[j]), int(packed.orig_index[si[j]]),
+                packed.title_of_sorted(int(si[j])))
+            for r, j in enumerate(np.nonzero(keep)[0][:config.top_k])]
 
 
 def top_k_hits(packed: PackedDb, scores: np.ndarray, k: int) -> list:
@@ -133,11 +227,20 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     timer = PhaseTimer()
     results = []
     t0 = time.perf_counter()
+    with timer.phase("h2d"):
+        device_chunks(packed)   # one-time DB upload, amortized over queries
+    # serving fast path: one fused dispatch per query (device-side top-k);
+    # the adaptive ladder needs host-side escalation, so it stays per-chunk
+    fused = config.precision != "adaptive"
     for q in queries:
-        with timer.phase("score"):
-            scores = score_db(packed, q, config)
-        with timer.phase("topk"):
-            hits = top_k_hits(packed, scores, config.top_k)
+        if fused:
+            with timer.phase("score"):
+                hits = search_fused(packed, q, config)
+        else:
+            with timer.phase("score"):
+                scores = score_db(packed, q, config)
+            with timer.phase("topk"):
+                hits = top_k_hits(packed, scores, config.top_k)
         results.append(QueryResult(q.title, q.length, hits))
     seconds = time.perf_counter() - t0
 

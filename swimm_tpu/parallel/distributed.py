@@ -1,0 +1,86 @@
+"""Multi-host execution utilities (L3; SURVEY.md section 6.8).
+
+Replaces the reference's single-node-only execution model with jax
+multi-host SPMD: every process (host) joins via jax.distributed, the global
+('data','query') mesh spans all chips (ICI within a slice, DCN across
+hosts), and each host feeds only its local shard of the database.
+
+The search itself is unchanged — sharded_search works on any mesh. What
+this module adds:
+
+- init(): jax.distributed.initialize wrapper (coordinator discovery via the
+  standard env vars or explicit args).
+- host_block_range(): which packed-DB blocks this host must load, so a host
+  only reads its slice of the chunk files (the manifest's per-chunk block
+  counts make this a pure index computation — no data redistribution).
+- make_global_chunk(): assemble a globally-sharded device array from
+  host-local block data via jax.make_array_from_single_device_arrays.
+
+Cannot be exercised in this 1-host dev environment; the sharding/collective
+code paths it feeds are covered by the virtual-mesh tests
+(tests/test_sharded.py) which run the same shard_map program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init(coordinator_address: str | None = None,
+         num_processes: int | None = None,
+         process_id: int | None = None) -> None:
+    """Join the multi-host job (no-op if already initialized or 1 process)."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def global_mesh(query_axis: int = 1) -> Mesh:
+    """('data','query') mesh over ALL devices in the job (all hosts)."""
+    devs = np.array(jax.devices())
+    n = len(devs)
+    if n % query_axis:
+        raise ValueError(f"{n} global devices not divisible by {query_axis}")
+    return Mesh(devs.reshape(n // query_axis, query_axis), ("data", "query"))
+
+
+def host_block_range(n_blocks: int, mesh: Mesh) -> tuple[int, int]:
+    """[start, stop) padded-block range this host's devices own for a chunk
+    whose block axis is sharded over 'data'. Blocks are distributed
+    contiguously, so a host's range is contiguous too."""
+    n_data = mesh.shape["data"]
+    bp = -(-n_blocks // n_data) * n_data     # padded block count
+    per_dev = bp // n_data
+    me = jax.process_index()
+    rows = sorted({i for i in range(mesh.devices.shape[0])
+                   if any(d.process_index == me for d in mesh.devices[i])})
+    if not rows:
+        return 0, 0
+    return rows[0] * per_dev, (rows[-1] + 1) * per_dev
+
+
+def make_global_chunk(local_blocks: np.ndarray, n_blocks_global: int,
+                      mesh: Mesh):
+    """Build the globally-sharded (Bp, L, V) chunk array from this host's
+    local blocks (PAD-padded to its full range)."""
+    n_data = mesh.shape["data"]
+    bp = -(-n_blocks_global // n_data) * n_data
+    per_dev = bp // n_data
+    L, V = local_blocks.shape[1:]
+    sharding = NamedSharding(mesh, P("data", None, None))
+    shape = (bp, L, V)
+
+    def cb(index):
+        # index is the global slice for one device; translate to local
+        start = index[0].start or 0
+        lo, _ = host_block_range(n_blocks_global, mesh)
+        sl = local_blocks[start - lo:start - lo + per_dev]
+        return sl
+
+    return jax.make_array_from_callback(shape, sharding, cb)

@@ -100,9 +100,20 @@ def sharded_chunk_topk(codes, qps, *, mesh, gap_open, gap_extend,
     return vals, idx
 
 
-def shard_chunk_arrays(codes: np.ndarray, mesh) -> tuple[jnp.ndarray, int]:
+_SHARDED_CHUNK_CACHE: dict = {}
+
+
+def shard_chunk_arrays(codes: np.ndarray, mesh,
+                       cache_key=None) -> tuple[jnp.ndarray, int]:
     """Pad a chunk's block axis to the data-axis size and device_put it
-    sharded over ('data', None, None). Returns (device array, padded B)."""
+    sharded over ('data', None, None). Returns (device array, padded B).
+
+    With cache_key set, the sharded device array is cached and reused
+    across queries (device-resident DB, the production serving model)."""
+    if cache_key is not None:
+        hit = _SHARDED_CHUNK_CACHE.get((cache_key, mesh))
+        if hit is not None:
+            return hit
     n_data = mesh.shape["data"]
     B = codes.shape[0]
     Bp = ((B + n_data - 1) // n_data) * n_data
@@ -111,7 +122,10 @@ def shard_chunk_arrays(codes: np.ndarray, mesh) -> tuple[jnp.ndarray, int]:
         pad = np.full((Bp - B,) + codes.shape[1:], PAD_CODE, dtype=codes.dtype)
         codes = np.concatenate([codes, pad], axis=0)
     sharding = NamedSharding(mesh, P("data", None, None))
-    return jax.device_put(codes, sharding), Bp
+    out = (jax.device_put(codes, sharding), Bp)
+    if cache_key is not None:
+        _SHARDED_CHUNK_CACHE[(cache_key, mesh)] = out
+    return out
 
 
 def pad_queries(qps: np.ndarray, mesh) -> np.ndarray:
@@ -166,7 +180,8 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     for ch in packed.chunks:
         with timer.phase("h2d"):
             codes_dev, Bp = shard_chunk_arrays(
-                np.ascontiguousarray(ch.codes), mesh)
+                np.ascontiguousarray(ch.codes), mesh,
+                cache_key=(id(packed), ch.chunk_id))
         with timer.phase("score+merge"):
             vals, idx = sharded_chunk_topk(
                 codes_dev, qps_dev, mesh=mesh, gap_open=config.gap_open,
