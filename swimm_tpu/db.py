@@ -66,7 +66,7 @@ class DbChunk:
         return self.n_blocks * self.L * self.V
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: lets engines weak-cache per-DB device state
 class PackedDb:
     """In-memory handle to a packed database (memmap-backed when loaded)."""
     chunks: list
@@ -87,16 +87,31 @@ class PackedDb:
         return self.titles[sorted_idx]
 
 
-def build_db(records, out_dir, V: int = 128) -> PackedDb:
+def build_db(records, out_dir, V: int = 128, resume: bool = False) -> PackedDb:
     """Pack FASTA records (iterable of FastaRecord, or a FASTA path).
 
     Mirrors the reference preprocess call stack (SURVEY.md section 4.1):
     load -> encode -> sort by length ASC -> V-lane blocks -> chunks -> write.
+
+    resume=True: if a completed pack of the same sequence count and lane
+    width already exists at out_dir, reuse it (SURVEY.md section 6.4: the
+    packed DB is a cached, versioned input; per-shard files make rebuilds
+    restartable).
     """
     if isinstance(records, (str, os.PathLike)):
         records = list(iter_fasta(records))
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    if resume and (out / "manifest.json").exists():
+        try:
+            existing = load_db(out)
+            if (existing.n_seqs == len(records)
+                    and existing.manifest["V"] == V
+                    and existing.total_residues
+                    == int(sum(r.length for r in records))):
+                return existing
+        except Exception:
+            pass  # fall through to a clean rebuild
 
     lengths = np.array([r.length for r in records], dtype=np.int32)
     order = np.argsort(lengths, kind="stable")

@@ -82,8 +82,11 @@ def _chunk_scorer(config: SearchConfig):
                 return longquery.score_chunk_long(
                     codes, qp, config.gap_open, config.gap_extend)
             if config.precision == "adaptive":
+                bound = ladder.max_possible_score(
+                    qp.shape[1], codes.shape[1], config.matrix)
                 return ladder.score_chunk_adaptive(
-                    codes, qp, config.gap_open, config.gap_extend)[0]
+                    codes, qp, config.gap_open, config.gap_extend,
+                    upper_bound=bound)[0]
             return pallas_scorer.score_chunk(
                 codes, qp, config.gap_open, config.gap_extend,
                 precision=config.precision)
@@ -92,7 +95,9 @@ def _chunk_scorer(config: SearchConfig):
     raise ValueError(f"unknown backend {backend!r}")
 
 
-_DEVICE_CHUNK_CACHE: dict = {}
+import weakref
+
+_DEVICE_CHUNK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def device_chunks(packed: PackedDb):
@@ -100,13 +105,12 @@ def device_chunks(packed: PackedDb):
     across queries. This is the production serving model (BASELINE: the DB
     lives sharded in device memory; queries stream against it) — and on
     this dev setup it avoids re-sending the DB over the TPU tunnel per
-    query. Cache is keyed by the PackedDb identity."""
-    key = id(packed)
-    cached = _DEVICE_CHUNK_CACHE.get(key)
+    query. Weak-keyed on the PackedDb so device buffers free with it."""
+    cached = _DEVICE_CHUNK_CACHE.get(packed)
     if cached is None:
         cached = [jnp.asarray(np.ascontiguousarray(ch.codes))
                   for ch in packed.chunks]
-        _DEVICE_CHUNK_CACHE[key] = cached
+        _DEVICE_CHUNK_CACHE[packed] = cached
     return cached
 
 
@@ -129,7 +133,7 @@ def score_db(packed: PackedDb, query: FastaRecord,
     return out
 
 
-_SEARCH_STEP_CACHE: dict = {}
+_SEARCH_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
@@ -146,9 +150,10 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
     order matches top_k_hits exactly (lax.top_k breaks ties by lowest
     index).
     """
-    key = (id(packed), config.gap_open, config.gap_extend,
+    per_db = _SEARCH_STEP_CACHE.setdefault(packed, {})
+    key = (config.gap_open, config.gap_extend,
            config.resolve_backend(), config.precision, k)
-    hit = _SEARCH_STEP_CACHE.get(key)
+    hit = per_db.get(key)
     if hit is not None:
         return hit
 
@@ -181,7 +186,7 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
         v, i = jax.lax.top_k(scores, min(k, total))
         return v, lane2sorted_dev[i]
 
-    _SEARCH_STEP_CACHE[key] = step
+    per_db[key] = step
     return step
 
 

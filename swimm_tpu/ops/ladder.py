@@ -42,8 +42,24 @@ def _score(codes, qp, gap_open, gap_extend, ceiling, backend):
                                   ceiling=ceiling)
 
 
+def max_possible_score(query_len: int, seq_len: int,
+                       matrix="BLOSUM62") -> int:
+    """Conservative upper bound on any local-alignment score for this
+    (query length, db sequence length) pair: the shorter sequence fully
+    matched at the matrix's best diagonal score. Used for length-bucketed
+    tier selection (BASELINE config 5: mixed-precision lanes with
+    length-sorted packing — short chunks provably cannot overflow the
+    narrow tier, so their recheck scan is skipped)."""
+    import numpy as np
+
+    from swimm_tpu.matrices import get_matrix
+    mat = get_matrix(matrix) if isinstance(matrix, str) else matrix
+    return int(min(query_len, seq_len) * int(np.diag(mat).max()))
+
+
 def score_chunk_adaptive(codes, qp, gap_open: int, gap_extend: int,
-                         tiers=DEFAULT_TIERS, backend: str = "pallas"):
+                         tiers=DEFAULT_TIERS, backend: str = "pallas",
+                         upper_bound: int | None = None):
     """Score one packed chunk through the precision ladder.
 
     Reference control flow (SURVEY.md section 4.4):
@@ -61,13 +77,25 @@ def score_chunk_adaptive(codes, qp, gap_open: int, gap_extend: int,
     """
     import jax.numpy as jnp
 
+    # length-bucketed tier truncation: the first tier whose ceiling covers
+    # the provable score bound is exact for every lane, so deeper tiers
+    # (and, if it's the FIRST tier, the whole recheck scan) are dropped
+    # (SURVEY.md section 3 "precision parallelism"; BASELINE config 5).
+    if upper_bound is not None:
+        kept = []
+        for t in tiers:
+            kept.append(t)
+            if t is not None and t >= upper_bound:
+                break
+        tiers = tuple(kept)
+
     codes_np = np.asarray(codes)
     codes = jnp.asarray(codes_np)
     scores = np.array(_score(codes, qp, gap_open, gap_extend,
                              tiers[0], backend))
     stats = {"tier_ceilings": list(tiers),
              "tier_blocks": [int(codes.shape[0])]}
-    if tiers[0] is None:
+    if tiers[0] is None or len(tiers) == 1:
         return scores, stats
 
     # blocks with any lane saturated at the previous tier's ceiling

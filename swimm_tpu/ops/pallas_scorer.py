@@ -148,16 +148,25 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
 
     # Carry H/E as values across the unrolled loop (one VMEM load/store per
     # tile instead of per step); merge the running column max into Smax only
-    # every SMAX_MERGE steps.
+    # every SMAX_MERGE steps. The score matmul for step j+1 is issued before
+    # step j's VPU chain (manual software pipelining: the MXU runs under the
+    # VPU's serial H/E/F dependency chain instead of in front of it).
     SMAX_MERGE = 8
+
+    def score_at(j):
+        d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
+        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
+        return jnp.dot(qpt, onehot,
+                       preferred_element_type=jnp.float32)        # (m, Vk)
+
     h = h_ref[:]
     e = e_ref[:]
     colmax = None
+    s_f32 = score_at(0)
     for j in range(jt_steps):
-        d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
-        s = jnp.dot(qpt, onehot,
-                    preferred_element_type=jnp.float32).astype(dtype)  # (m, Vk)
+        s = s_f32.astype(dtype)
+        if j + 1 < jt_steps:
+            s_f32 = score_at(j + 1)
 
         e = jnp.maximum(h - goe, e - ge)
         hd = _shift_rows(h, 1, 0)                        # ramped Hdiag

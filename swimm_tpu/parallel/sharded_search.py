@@ -100,18 +100,21 @@ def sharded_chunk_topk(codes, qps, *, mesh, gap_open, gap_extend,
     return vals, idx
 
 
-_SHARDED_CHUNK_CACHE: dict = {}
+import weakref
+
+_SHARDED_CHUNK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def shard_chunk_arrays(codes: np.ndarray, mesh,
-                       cache_key=None) -> tuple[jnp.ndarray, int]:
+def shard_chunk_arrays(codes: np.ndarray, mesh, db=None,
+                       chunk_id=None) -> tuple[jnp.ndarray, int]:
     """Pad a chunk's block axis to the data-axis size and device_put it
     sharded over ('data', None, None). Returns (device array, padded B).
 
-    With cache_key set, the sharded device array is cached and reused
-    across queries (device-resident DB, the production serving model)."""
-    if cache_key is not None:
-        hit = _SHARDED_CHUNK_CACHE.get((cache_key, mesh))
+    With db/chunk_id set, the sharded device array is cached (weak-keyed on
+    the PackedDb) and reused across queries — device-resident DB."""
+    if db is not None:
+        per_db = _SHARDED_CHUNK_CACHE.setdefault(db, {})
+        hit = per_db.get((chunk_id, mesh))
         if hit is not None:
             return hit
     n_data = mesh.shape["data"]
@@ -123,8 +126,8 @@ def shard_chunk_arrays(codes: np.ndarray, mesh,
         codes = np.concatenate([codes, pad], axis=0)
     sharding = NamedSharding(mesh, P("data", None, None))
     out = (jax.device_put(codes, sharding), Bp)
-    if cache_key is not None:
-        _SHARDED_CHUNK_CACHE[(cache_key, mesh)] = out
+    if db is not None:
+        per_db[(chunk_id, mesh)] = out
     return out
 
 
@@ -181,7 +184,7 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         with timer.phase("h2d"):
             codes_dev, Bp = shard_chunk_arrays(
                 np.ascontiguousarray(ch.codes), mesh,
-                cache_key=(id(packed), ch.chunk_id))
+                db=packed, chunk_id=ch.chunk_id)
         with timer.phase("score+merge"):
             vals, idx = sharded_chunk_topk(
                 codes_dev, qps_dev, mesh=mesh, gap_open=config.gap_open,

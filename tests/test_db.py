@@ -55,3 +55,16 @@ def test_manifest_versioned(tmp_path):
     packed = build_db(recs, tmp_path / "db", V=8)
     assert packed.manifest["format_version"] == 1
     assert packed.manifest["n_chunks"] == len(packed.chunks)
+
+
+def test_build_resume(tmp_path):
+    recs = synth_db(60, seed=4)
+    p1 = build_db(recs, tmp_path / "db", V=8)
+    import os
+    mtime = os.path.getmtime(tmp_path / "db" / "chunk_0000.npy")
+    p2 = build_db(recs, tmp_path / "db", V=8, resume=True)
+    assert os.path.getmtime(tmp_path / "db" / "chunk_0000.npy") == mtime
+    assert p2.n_seqs == p1.n_seqs
+    # different V must rebuild
+    p3 = build_db(recs, tmp_path / "db", V=16, resume=True)
+    assert p3.manifest["V"] == 16

@@ -53,3 +53,16 @@ def test_topk_deterministic_tiebreak(small_world):
     hits = top_k_hits(packed, scores, 3)
     assert [h.sorted_idx for h in hits] == [3, 5, 7]
     assert [h.rank for h in hits] == [1, 2, 3]
+
+
+def test_fused_path_matches_per_chunk(small_world):
+    # the fused one-dispatch serving path must produce identical hit lists
+    # to the per-chunk score + host top-k path (xla backend on CPU)
+    recs, queries, packed = small_world
+    cfg_fused = SearchConfig(backend="xla", precision="f32", top_k=10)
+    cfg_plain = SearchConfig(backend="xla", precision="adaptive", top_k=10)
+    fused, _ = search(packed, queries, cfg_fused)
+    plain, _ = search(packed, queries, cfg_plain)
+    for r1, r2 in zip(fused, plain):
+        assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+               [(h.score, h.sorted_idx) for h in r2.hits]

@@ -56,3 +56,29 @@ def test_narrow_tier_clamps_at_ceiling(rng):
     mask = exact < INT8_CEIL
     np.testing.assert_array_equal(clamped[mask], exact[mask])
     assert (clamped[~mask] == INT8_CEIL).all()
+
+
+def test_length_bucketed_tier_truncation(rng):
+    from swimm_tpu.ops.ladder import max_possible_score
+    q, qp, codes = _world(rng)
+    exact = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2))
+    # bound below int8 ceiling -> single narrow pass, no recheck
+    scores, stats = score_chunk_adaptive(codes, qp, 10, 2, backend="xla",
+                                         upper_bound=100)
+    assert stats["tier_ceilings"] == [INT8_CEIL]
+    # (scores may clamp at 127 in this artificial case; the invariant only
+    # holds when the bound is genuinely valid)
+    # valid bound: min(L, m)*max_diag
+    bound = max_possible_score(qp.shape[1], codes.shape[1])
+    scores, stats = score_chunk_adaptive(codes, qp, 10, 2, backend="xla",
+                                         upper_bound=bound)
+    np.testing.assert_array_equal(scores, exact)
+    # int16 ceiling covers the bound here, so the exact (None) tier is cut
+    assert stats["tier_ceilings"][-1] == 32767
+
+
+def test_max_possible_score():
+    from swimm_tpu.ops.ladder import max_possible_score
+    # BLOSUM62 best diagonal is W:W = 11
+    assert max_possible_score(10, 100) == 110
+    assert max_possible_score(100, 10) == 110
