@@ -1,0 +1,28 @@
+# Native components (reference parity: C15 build system, SURVEY.md sec. 3).
+# The Python wrappers (ops/cref.py, swimm_tpu/native.py) build these on
+# demand too; this Makefile is for explicit/offline builds.
+
+CC      ?= cc
+CFLAGS  ?= -O2 -fPIC -shared -Wall
+
+all: csrc/libswref.so csrc/libswpack.so
+
+csrc/libswref.so: csrc/swref.c
+	$(CC) $(CFLAGS) -o $@ $<
+
+csrc/libswpack.so: csrc/swpack.c
+	$(CC) $(CFLAGS) -o $@ $<
+
+test:
+	python -m pytest tests/ -q
+
+test-tpu:
+	python -m pytest tests_tpu/ -q
+
+bench:
+	python bench.py
+
+clean:
+	rm -f csrc/*.so
+
+.PHONY: all test test-tpu bench clean

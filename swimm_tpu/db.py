@@ -87,11 +87,16 @@ class PackedDb:
         return self.titles[sorted_idx]
 
 
-def build_db(records, out_dir, V: int = 128, resume: bool = False) -> PackedDb:
+def build_db(records, out_dir, V: int = 128, resume: bool = False,
+             use_native: bool = True) -> PackedDb:
     """Pack FASTA records (iterable of FastaRecord, or a FASTA path).
 
     Mirrors the reference preprocess call stack (SURVEY.md section 4.1):
     load -> encode -> sort by length ASC -> V-lane blocks -> chunks -> write.
+
+    Given a FASTA path, the native C parser/packer (csrc/swpack.c, parity
+    with the reference's C preprocess) is used when available; the Python
+    path is the behavioral reference and fallback.
 
     resume=True: if a completed pack of the same sequence count and lane
     width already exists at out_dir, reuse it (SURVEY.md section 6.4: the
@@ -99,6 +104,13 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False) -> PackedDb:
     restartable).
     """
     if isinstance(records, (str, os.PathLike)):
+        if use_native:
+            try:
+                from swimm_tpu import native
+                if native.available():
+                    return _build_db_native(records, out_dir, V, resume)
+            except Exception:
+                pass
         records = list(iter_fasta(records))
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -195,3 +207,81 @@ def load_db(db_dir, mmap: bool = True) -> PackedDb:
     with open(d / "titles.txt") as fh:
         titles = [line.rstrip("\n") for line in fh]
     return PackedDb(chunks, lengths, orig_index, titles, manifest)
+
+
+def _build_db_native(fasta_path, out_dir, V: int, resume: bool) -> PackedDb:
+    """Native-parser fast path of build_db (same on-disk format)."""
+    from swimm_tpu import native
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if resume and (out / "manifest.json").exists():
+        try:
+            existing = load_db(out)
+            if existing.manifest["V"] == V:
+                return existing
+        except Exception:
+            pass
+
+    codes_blob, offsets, lengths, titles_all = native.parse_fasta(fasta_path)
+    n = len(lengths)
+    order = np.argsort(lengths, kind="stable").astype(np.int64)
+    sorted_lengths = lengths[order].astype(np.int32)
+    n_blocks_total = (n + V - 1) // V
+
+    # per-block quantized length (vectorized: block max over sorted lens)
+    padded = np.zeros(n_blocks_total * V, dtype=np.int64)
+    padded[:n] = sorted_lengths
+    block_max = padded.reshape(n_blocks_total, V).max(axis=1)
+    block_L = np.array([quantize_len(int(max(m, 1))) for m in block_max],
+                       dtype=np.int64)
+
+    chunks: list[DbChunk] = []
+    chunk_descs = []
+    b = 0
+    cid = 0
+    while b < n_blocks_total:
+        L = int(block_L[b])
+        e = b
+        while e < n_blocks_total and block_L[e] == L:
+            e += 1
+        base = b * V
+        n_seqs_chunk = min(e * V, n) - base
+        codes = native.fill_chunk(codes_blob, offsets, lengths,
+                                  order[base:base + n_seqs_chunk],
+                                  L, V, PAD_CODE)
+        nb_full = e - b
+        if codes.shape[0] < nb_full:   # trailing all-pad blocks
+            pad = np.full((nb_full - codes.shape[0], L, V), PAD_CODE,
+                          dtype=np.int8)
+            codes = np.concatenate([codes, pad], axis=0)
+        fname = f"chunk_{cid:04d}.npy"
+        np.save(out / fname, codes)
+        chunk_descs.append({
+            "chunk_id": cid, "L": L, "V": V, "n_blocks": nb_full,
+            "base": base, "n_seqs": n_seqs_chunk, "file": fname,
+        })
+        chunks.append(DbChunk(cid, L, V, nb_full, base, n_seqs_chunk, codes))
+        cid += 1
+        b = e
+
+    np.save(out / "lengths.npy", sorted_lengths)
+    np.save(out / "orig_index.npy", order)
+    with open(out / "titles.txt", "w") as fh:
+        for i in order:
+            fh.write(titles_all[i].replace("\n", " ") + "\n")
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "n_seqs": n,
+        "total_residues": int(lengths.sum()),
+        "V": V,
+        "n_chunks": len(chunk_descs),
+        "chunks": chunk_descs,
+        "len_quanta": [list(t) for t in _LEN_QUANTA],
+    }
+    with open(out / "manifest.json", "w") as fh:
+        json.dump(manifest, fh, indent=1)
+
+    titles = [titles_all[i] for i in order]
+    return PackedDb(chunks, sorted_lengths, order, titles, manifest)

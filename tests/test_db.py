@@ -68,3 +68,44 @@ def test_build_resume(tmp_path):
     # different V must rebuild
     p3 = build_db(recs, tmp_path / "db", V=16, resume=True)
     assert p3.manifest["V"] == 16
+
+
+def test_native_pack_matches_python(tmp_path):
+    # C2/C3 native path (csrc/swpack.c) must produce a byte-identical pack
+    pytest = __import__("pytest")
+    from swimm_tpu import native
+    if not native.available():
+        pytest.skip("no cc for native packer")
+    from swimm_tpu.fasta import write_fasta
+    recs = synth_db(150, seed=9, median_len=70, sigma=0.5, max_len=300)
+    fa = tmp_path / "db.fasta"
+    write_fasta(fa, recs)
+    py = build_db(fa, tmp_path / "py", V=16, use_native=False)
+    nat = build_db(fa, tmp_path / "nat", V=16, use_native=True)
+    assert nat.n_seqs == py.n_seqs
+    assert nat.total_residues == py.total_residues
+    np.testing.assert_array_equal(nat.lengths, py.lengths)
+    np.testing.assert_array_equal(nat.orig_index, py.orig_index)
+    assert nat.titles == py.titles
+    assert len(nat.chunks) == len(py.chunks)
+    for c1, c2 in zip(nat.chunks, py.chunks):
+        assert (c1.L, c1.V, c1.n_blocks, c1.base, c1.n_seqs) == \
+               (c2.L, c2.V, c2.n_blocks, c2.base, c2.n_seqs)
+        np.testing.assert_array_equal(np.asarray(c1.codes), np.asarray(c2.codes))
+
+
+def test_native_parse_matches_python(tmp_path):
+    pytest = __import__("pytest")
+    from swimm_tpu import native
+    if not native.available():
+        pytest.skip("no cc")
+    from swimm_tpu.fasta import read_fasta, write_fasta
+    recs = synth_db(40, seed=2, median_len=50, sigma=0.3, max_len=120)
+    fa = tmp_path / "x.fasta"
+    write_fasta(fa, recs)
+    codes, offs, lens, titles = native.parse_fasta(fa)
+    py = read_fasta(fa)
+    assert len(py) == len(lens)
+    for i, r in enumerate(py):
+        assert titles[i] == r.title
+        np.testing.assert_array_equal(codes[offs[i]:offs[i]+lens[i]], r.codes)
