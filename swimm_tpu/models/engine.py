@@ -179,30 +179,63 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
     @jax.jit
-    def step(qp, *chunk_codes):
-        flats = [scorer(c, qp).reshape(-1) for c in chunk_codes]
-        scores = jnp.concatenate(flats)
-        scores = jnp.where(mask_dev, scores, -1)
-        v, i = jax.lax.top_k(scores, min(k, total))
-        return v, lane2sorted_dev[i]
+    def step(qps, *chunk_codes):
+        # qps: (Q, 32, m) — the whole query batch in one dispatch (query
+        # batching, SURVEY.md section 4.5 deliberate divergence); Q and m
+        # are shapes, so jit re-specializes per (Q, m_pad) combination.
+        def one(qp):
+            flats = [scorer(c, qp).reshape(-1) for c in chunk_codes]
+            scores = jnp.where(mask_dev, jnp.concatenate(flats), -1)
+            return jax.lax.top_k(scores, min(k, total))
+
+        vs, idxs = [], []
+        for qi in range(qps.shape[0]):
+            v, i = one(qps[qi])
+            vs.append(v)
+            idxs.append(lane2sorted_dev[i])
+        return jnp.stack(vs), jnp.stack(idxs)
 
     per_db[key] = step
     return step
 
 
-def search_fused(packed: PackedDb, query: FastaRecord, config: SearchConfig):
-    """One-dispatch whole-DB search for one query; returns hit list."""
-    step = _fused_search_step(packed, config, config.top_k)
-    qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
-                                         config.m_multiple))
-    dev = device_chunks(packed)
-    v, si = step(qp, *dev)
-    v = np.asarray(v)
-    si = np.asarray(si)
-    keep = v >= 0
+def _hits_from(packed: PackedDb, v: np.ndarray, si: np.ndarray, k: int):
+    keep = np.nonzero(v >= 0)[0][:k]
     return [Hit(r + 1, int(v[j]), int(si[j]), int(packed.orig_index[si[j]]),
                 packed.title_of_sorted(int(si[j])))
-            for r, j in enumerate(np.nonzero(keep)[0][:config.top_k])]
+            for r, j in enumerate(keep)]
+
+
+def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
+    """Whole-DB search for a query batch; one dispatch per m_pad group.
+
+    Returns hit lists in input order."""
+    dev = device_chunks(packed)
+    step = _fused_search_step(packed, config, config.top_k)
+    # group queries by padded profile length (shape bucketing)
+    groups: dict = {}
+    mm = config.m_multiple
+    for pos, q in enumerate(queries):
+        m_pad = -(-max(q.length, 1) // mm) * mm
+        groups.setdefault(m_pad, []).append(pos)
+    out = [None] * len(queries)
+    pending = []
+    for m_pad, positions in groups.items():
+        qps = jnp.asarray(np.stack([
+            build_query_profile(queries[p].codes, config.matrix, mm)
+            for p in positions]))
+        pending.append((positions, step(qps, *dev)))
+    for positions, (vs, sis) in pending:
+        vs = np.asarray(vs)
+        sis = np.asarray(sis)
+        for row, p in enumerate(positions):
+            out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
+    return out
+
+
+def search_fused(packed: PackedDb, query: FastaRecord, config: SearchConfig):
+    """One-dispatch whole-DB search for one query; returns hit list."""
+    return search_fused_batch(packed, [query], config)[0]
 
 
 def top_k_hits(packed: PackedDb, scores: np.ndarray, k: int) -> list:
@@ -234,19 +267,21 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     t0 = time.perf_counter()
     with timer.phase("h2d"):
         device_chunks(packed)   # one-time DB upload, amortized over queries
-    # serving fast path: one fused dispatch per query (device-side top-k);
-    # the adaptive ladder needs host-side escalation, so it stays per-chunk
-    fused = config.precision != "adaptive"
-    for q in queries:
-        if fused:
-            with timer.phase("score"):
-                hits = search_fused(packed, q, config)
-        else:
+    # serving fast path: queries batched into one fused dispatch per padded
+    # profile length, device-side top-k; the adaptive ladder needs
+    # host-side escalation, so it stays per-chunk per-query
+    if config.precision != "adaptive":
+        with timer.phase("score"):
+            hit_lists = search_fused_batch(packed, queries, config)
+        results = [QueryResult(q.title, q.length, h)
+                   for q, h in zip(queries, hit_lists)]
+    else:
+        for q in queries:
             with timer.phase("score"):
                 scores = score_db(packed, q, config)
             with timer.phase("topk"):
                 hits = top_k_hits(packed, scores, config.top_k)
-        results.append(QueryResult(q.title, q.length, hits))
+            results.append(QueryResult(q.title, q.length, hits))
     seconds = time.perf_counter() - t0
 
     total_q = sum(q.length for q in queries)
