@@ -60,8 +60,25 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: CLI runs are one process each, so
+    without this every invocation pays full kernel compile (~30s+/variant
+    over the device tunnel; SURVEY.md section 8 environment notes)."""
+    import os
+    try:
+        import jax
+        d = os.environ.get("SWTPU_CACHE",
+                           os.path.expanduser("~/.cache/swimm_tpu/jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
 
     if args.command == "preprocess":
         from swimm_tpu.db import build_db

@@ -36,7 +36,9 @@ class SearchConfig:
     top_k: int = 16
     backend: str = "auto"       # auto | xla | pallas
     precision: str = "adaptive"  # adaptive (int16 first + int32 recheck) | int32
-    m_multiple: int = 128        # query-length padding granularity
+    m_multiple: int = 16         # query-length padding granularity: small
+    # padding keeps GCUPS honest (real cells, not pad rows); each distinct
+    # padded length is one jit variant, amortized by the compilation cache
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":

@@ -25,7 +25,7 @@ def round_up(x: int, m: int) -> int:
 
 
 def build_query_profile(query_codes: np.ndarray, matrix="BLOSUM62",
-                        m_multiple: int = 128) -> np.ndarray:
+                        m_multiple: int = 16) -> np.ndarray:
     """Return QP (TABLE_CODES, m_pad) int32 for one query."""
     table = kernel_table(matrix)  # (32, 32) int32, PAD-padded
     q = np.asarray(query_codes, dtype=np.int64)

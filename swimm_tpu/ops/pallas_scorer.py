@@ -91,25 +91,29 @@ def _excl_cummax_rows(ht, neg):
     """Exclusive cumulative max along axis 0 of (m, Vk), hierarchical.
 
     out[i] = max(ht[0..i-1]), out[0] = neg.
+
+    Runs the in-group prefix INCLUSIVE (on the unshifted input) so the group
+    maxima fall out as the last sublane row of each group — a strided slice
+    instead of a separate 3-op sublane reduction — and applies the exclusive
+    shift once at the end (measured ~12% whole-kernel win vs the
+    shift-first + separate-gmax formulation).
     """
     m, vk = ht.shape
-    x = _shift_rows(ht, 1, neg)           # exclusive: shift first
     if m <= SUB:
-        g, k = x, 1
+        g, k = ht, 1
         while k < m:
             g = jnp.maximum(g, _shift_rows(g, k, neg))
             k *= 2
-        return g
+        return _shift_rows(g, 1, neg)
     nch = m // SUB
-    x3 = x.reshape(nch, SUB, vk)
-    g3 = x3
+    g3 = ht.reshape(nch, SUB, vk)
     k = 1
     while k < SUB:
         # shift within each 8-row group: per-tile sublane shift, no carry
         g3 = jnp.maximum(g3, jnp.pad(g3[:, :-k, :], ((0, 0), (k, 0), (0, 0)),
                                      constant_values=neg))
         k *= 2
-    gmax = jnp.max(x3, axis=1)            # (nch, Vk) group maxima
+    gmax = g3[:, SUB - 1, :]              # (nch, Vk) inclusive group maxima
     # exclusive prefix max over groups (small array, log-shift ladder)
     c = _shift_rows(gmax, 1, neg)
     k = 1
@@ -117,7 +121,7 @@ def _excl_cummax_rows(ht, neg):
         c = jnp.maximum(c, _shift_rows(c, k, neg))
         k *= 2
     g3 = jnp.maximum(g3, c[:, None, :])   # broadcast group carry
-    return g3.reshape(m, vk)
+    return _shift_rows(g3.reshape(m, vk), 1, neg)
 
 
 def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
@@ -172,15 +176,22 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
         hd = _shift_rows(h, 1, 0)                        # ramped Hdiag
         ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)   # ramp = 0-floor
 
+        # Smax tracks ht, not h: a local alignment never profitably ends in
+        # a gap (f = excl_cummax(ht) + c1 with c1 = -gap_open <= 0 is
+        # column-dominated by ht), so max_i h == max_i ht — and using ht
+        # decouples the running-max update from the F dependency chain.
+        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
+
         f = _excl_cummax_rows(ht, neg) + c1
         h = jnp.maximum(ht, f)
         if ceiling is not None:
             # saturating tier: clamp real H at `ceiling` (ramped: ceil+r(i));
             # lanes that touch the ceiling are flagged for recompute at the
             # next wider tier (SURVEY.md section 4.4 adaptive precision).
+            # Sub-ceiling lanes are never clamped anywhere in their column,
+            # so their ht-tracked scores stay exact; saturated lanes still
+            # reach >= ceiling in Smax and get flagged.
             h = jnp.minimum(h, ramp + ceiling)
-
-        colmax = h if colmax is None else jnp.maximum(colmax, h)
         if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
             smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
             colmax = None
@@ -196,12 +207,14 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
                                              "precision", "jt_steps",
-                                             "interpret", "ceiling"))
+                                             "interpret", "ceiling",
+                                             "lanes_per_block"))
 def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
                 gap_open: int, gap_extend: int,
                 precision: str = "f32", jt_steps: int | None = None,
                 interpret: bool = False,
-                ceiling: int | None = None) -> jnp.ndarray:
+                ceiling: int | None = None,
+                lanes_per_block: int | None = None) -> jnp.ndarray:
     """Score every lane of one packed chunk against one query (Pallas).
 
     Args:
@@ -220,7 +233,10 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
             jt_steps //= 2
     if L % jt_steps:
         raise ValueError(f"L={L} not a multiple of jt_steps={jt_steps}")
-    vk = LANE if (V % LANE == 0) else V
+    if lanes_per_block is not None:
+        vk = lanes_per_block if (V % lanes_per_block == 0) else V
+    else:
+        vk = LANE if (V % LANE == 0) else V
     G = V // vk
     n_jt = L // jt_steps
     dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
@@ -230,13 +246,23 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     ramp = ((jnp.arange(m, dtype=jnp.int32) + 1)
             * gap_extend).reshape(m, 1)
 
-    # Normalize to 128-lane blocks: (B, L, G, vk) -> (B*G, L, vk). No-op
-    # when V == 128 (the pack default); an XLA transpose otherwise.
-    codes_n = codes.reshape(B, L, G, vk)
-    if G > 1:
-        codes_n = jnp.swapaxes(codes_n, 1, 2)
-    codes_n = codes_n.reshape(B * G, L, vk)
-    Bn = B * G
+    # Normalize to vk-lane kernel blocks. vk == V is a no-op reshape; vk < V
+    # splits each block (G sub-blocks); vk > V merges g consecutive blocks
+    # along the lane axis (wider tiles amortize per-op overhead when the
+    # query is short — more vregs in flight per VPU op). Either direction is
+    # one XLA transpose on the int8 codes (HBM-cheap vs the DP compute).
+    if vk <= V:
+        codes_n = codes.reshape(B, L, G, vk)
+        if G > 1:
+            codes_n = jnp.swapaxes(codes_n, 1, 2)
+        Bn = B * G
+    else:
+        g = vk // V
+        if B % g:
+            raise ValueError(f"B={B} not a multiple of merge factor {g}")
+        Bn = B // g
+        codes_n = jnp.swapaxes(codes.reshape(Bn, g, L, V), 1, 2)
+    codes_n = codes_n.reshape(Bn, L, vk)
 
     kernel = functools.partial(
         _dp_kernel, jt_steps=jt_steps, n_jt=n_jt,
