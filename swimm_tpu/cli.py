@@ -42,8 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_scoring_flags(se)
     se.add_argument("-r", "--top-k", type=int, default=16)
     se.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto")
-    se.add_argument("--precision", choices=["adaptive", "f32", "int32"],
-                    default="adaptive")
+    se.add_argument("--precision",
+                    choices=["adaptive", "ladder", "f32", "int32"],
+                    default="adaptive",
+                    help="adaptive = fastest exact path for the hardware; "
+                         "ladder = reference-style narrow-first + overflow "
+                         "recheck (SURVEY.md 4.4)")
     se.add_argument("--sharded", action="store_true",
                     help="data-parallel search over all local devices")
     se.add_argument("--json", action="store_true", help="JSON output")

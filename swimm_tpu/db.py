@@ -86,6 +86,59 @@ class PackedDb:
     def title_of_sorted(self, sorted_idx: int) -> str:
         return self.titles[sorted_idx]
 
+    def flat_tiles(self, jt: int = 32):
+        """The whole database as ONE block-major stream of (jt, V) tiles for
+        ops.pallas_scorer.score_tiles — every block of every chunk rides a
+        single ragged kernel dispatch (one compiled shape per DB, instead of
+        one per chunk shape).
+
+        Returns (tiles, outrow, n_rows):
+          tiles:  (T, jt, V) int8, each block's L/jt tiles consecutive,
+                  blocks in chunk order (same flat-lane order as the
+                  concatenated per-chunk scores);
+          outrow: (T,) int32 tile -> global block row, nondecreasing;
+          n_rows: total block count.
+        Cached on the instance (host arrays; device upload is the engine's
+        concern).
+        """
+        cached = getattr(self, "_flat_tiles_cache", None)
+        if cached is not None and cached[0] == jt:
+            return cached[1]
+        parts, rows = [], []
+        row = 0
+        for ch in self.chunks:
+            nb, L, V = ch.n_blocks, ch.L, ch.V
+            assert L % jt == 0, (L, jt)
+            parts.append(np.ascontiguousarray(ch.codes).reshape(-1, jt, V))
+            rows.append(np.repeat(np.arange(row, row + nb, dtype=np.int32),
+                                  L // jt))
+            row += nb
+        tiles = np.concatenate(parts) if parts else \
+            np.zeros((0, jt, self.manifest["V"]), np.int8)
+        outrow = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+        result = (tiles, outrow, row)
+        self._flat_tiles_cache = (jt, result)
+        return result
+
+    def block_max_lengths(self) -> np.ndarray:
+        """Per global block row, the longest TRUE sequence length in it
+        (sequences are length-sorted ascending, so it's the last real lane).
+        Used for provable per-block score upper bounds (precision ladder
+        tier truncation, BASELINE config 5)."""
+        cached = getattr(self, "_block_maxlen_cache", None)
+        if cached is not None:
+            return cached
+        out = []
+        n = self.n_seqs
+        for ch in self.chunks:
+            for b in range(ch.n_blocks):
+                lo = ch.base + b * ch.V
+                hi = min(lo + ch.V, n)
+                out.append(int(self.lengths[hi - 1]) if hi > lo else 0)
+        res = np.asarray(out, dtype=np.int64)
+        self._block_maxlen_cache = res
+        return res
+
 
 def build_db(records, out_dir, V: int = 128, resume: bool = False,
              use_native: bool = True) -> PackedDb:

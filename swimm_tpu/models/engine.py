@@ -35,7 +35,14 @@ class SearchConfig:
     gap_extend: int = 2
     top_k: int = 16
     backend: str = "auto"       # auto | xla | pallas
-    precision: str = "adaptive"  # adaptive (int16 first + int32 recheck) | int32
+    precision: str = "adaptive"
+    # adaptive: the fastest EXACT strategy for the hardware. On TPU that is
+    #   the single f32 pass (integers exact to 2^24 >> any attainable SW
+    #   score): narrow integer tiers buy zero VPU speed here, unlike the
+    #   reference's SSE/AVX2 where int8 is 4x int32 (ops/ladder.py docstring).
+    # ladder:  the reference's explicit narrow-first + overflow-recheck
+    #   control flow (SURVEY.md section 4.4), block-granular escalation.
+    # f32 | int32: force one exact kernel dtype.
     m_multiple: int = 16         # query-length padding granularity: small
     # padding keeps GCUPS honest (real cells, not pad rows); each distinct
     # padded length is one jit variant, amortized by the compilation cache
@@ -83,15 +90,17 @@ def _chunk_scorer(config: SearchConfig):
                 # long-query tiled path (M5); always exact
                 return longquery.score_chunk_long(
                     codes, qp, config.gap_open, config.gap_extend)
-            if config.precision == "adaptive":
+            if config.precision == "ladder":
                 bound = ladder.max_possible_score(
                     qp.shape[1], codes.shape[1], config.matrix)
                 return ladder.score_chunk_adaptive(
                     codes, qp, config.gap_open, config.gap_extend,
                     upper_bound=bound)[0]
+            prec = ("f32" if config.precision == "adaptive"
+                    else config.precision)
             return pallas_scorer.score_chunk(
                 codes, qp, config.gap_open, config.gap_extend,
-                precision=config.precision)
+                precision=prec)
 
         return dispatch
     raise ValueError(f"unknown backend {backend!r}")
@@ -138,15 +147,32 @@ def score_db(packed: PackedDb, query: FastaRecord,
 _SEARCH_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
+_DEVICE_TILE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def device_tiles(packed: PackedDb):
+    """Device-resident ragged tile stream of the whole DB (HBM, uploaded
+    once; see device_chunks)."""
+    cached = _DEVICE_TILE_CACHE.get(packed)
+    if cached is None:
+        tiles, outrow, n_rows = packed.flat_tiles()
+        cached = (jnp.asarray(tiles), jnp.asarray(outrow), n_rows)
+        _DEVICE_TILE_CACHE[packed] = cached
+    return cached
+
+
+def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
+                       mode: str = "chunks"):
     """Build a jitted whole-DB search step: ONE device dispatch scores every
     chunk and reduces to the global top-k on device; only k (score, index)
     pairs come back to the host.
 
     This is the serving fast path: with the DB resident in HBM, per-query
-    work is a single dispatch regardless of chunk count (the reference's
-    per-chunk OpenMP work queue has no dispatch-latency analog on TPU, but
-    a 24-chunk DB would otherwise cost 24 host round-trips per query).
+    work is a single dispatch regardless of chunk count. On the pallas
+    backend the whole DB is ONE ragged-grid kernel call (score_tiles): a
+    single compiled shape per database, where the per-chunk form lowers one
+    kernel per chunk shape (~20 shapes for a Swiss-Prot-like length mix —
+    measured ~40s of per-process trace/lower time and as many dispatches).
 
     Pad lanes are masked to -1 on device so the (score desc, index asc)
     order matches top_k_hits exactly (lax.top_k breaks ties by lowest
@@ -154,7 +180,7 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
     """
     per_db = _SEARCH_STEP_CACHE.setdefault(packed, {})
     key = (config.gap_open, config.gap_extend,
-           config.resolve_backend(), config.precision, k)
+           config.resolve_backend(), config.precision, k, mode)
     hit = per_db.get(key)
     if hit is not None:
         return hit
@@ -180,14 +206,29 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int):
         off += n
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
+    if mode == "tiles":
+        from swimm_tpu.ops import pallas_scorer
+        _, _, n_rows = packed.flat_tiles()
+        prec = "f32" if config.precision == "adaptive" else config.precision
+
     @jax.jit
-    def step(qps, *chunk_codes):
+    def step(qps, *db_arrays):
         # qps: (Q, 32, m) — the whole query batch in one dispatch (query
         # batching, SURVEY.md section 4.5 deliberate divergence); Q and m
         # are shapes, so jit re-specializes per (Q, m_pad) combination.
+        # db_arrays: (tiles, outrow) on the ragged path, else per-chunk
+        # code arrays.
         def one(qp):
-            flats = [scorer(c, qp).reshape(-1) for c in chunk_codes]
-            scores = jnp.where(mask_dev, jnp.concatenate(flats), -1)
+            if mode == "tiles":
+                tiles, outrow = db_arrays
+                flat = pallas_scorer.score_tiles(
+                    tiles, outrow, n_rows, qp,
+                    config.gap_open, config.gap_extend,
+                    precision=prec).reshape(-1)
+            else:
+                flat = jnp.concatenate(
+                    [scorer(c, qp).reshape(-1) for c in db_arrays])
+            scores = jnp.where(mask_dev, flat, -1)
             return jax.lax.top_k(scores, min(k, total))
 
         vs, idxs = [], []
@@ -212,8 +253,8 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     """Whole-DB search for a query batch; one dispatch per m_pad group.
 
     Returns hit lists in input order."""
-    dev = device_chunks(packed)
-    step = _fused_search_step(packed, config, config.top_k)
+    from swimm_tpu.ops import pallas_scorer
+    backend = config.resolve_backend()
     # group queries by padded profile length (shape bucketing)
     groups: dict = {}
     mm = config.m_multiple
@@ -223,6 +264,11 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     out = [None] * len(queries)
     pending = []
     for m_pad, positions in groups.items():
+        tiles_ok = (backend == "pallas" and config.precision != "ladder"
+                    and m_pad <= pallas_scorer.max_query_pad())
+        mode = "tiles" if tiles_ok else "chunks"
+        dev = device_tiles(packed)[:2] if tiles_ok else device_chunks(packed)
+        step = _fused_search_step(packed, config, config.top_k, mode)
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
@@ -268,11 +314,22 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     results = []
     t0 = time.perf_counter()
     with timer.phase("h2d"):
-        device_chunks(packed)   # one-time DB upload, amortized over queries
+        # one-time DB upload, amortized over queries: the ragged tile
+        # stream for the pallas fast path, per-chunk arrays otherwise
+        from swimm_tpu.ops import pallas_scorer
+        mm = config.m_multiple
+        max_m = max((-(-max(q.length, 1) // mm) * mm for q in queries),
+                    default=0)
+        if (config.resolve_backend() == "pallas"
+                and config.precision != "ladder"
+                and max_m <= pallas_scorer.max_query_pad()):
+            device_tiles(packed)
+        else:
+            device_chunks(packed)
     # serving fast path: queries batched into one fused dispatch per padded
-    # profile length, device-side top-k; the adaptive ladder needs
+    # profile length, device-side top-k; the narrow-tier ladder needs
     # host-side escalation, so it stays per-chunk per-query
-    if config.precision != "adaptive":
+    if config.precision != "ladder":
         with timer.phase("score"):
             hit_lists = search_fused_batch(packed, queries, config)
         results = [QueryResult(q.title, q.length, h)

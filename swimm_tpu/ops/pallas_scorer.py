@@ -205,6 +205,155 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
         out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
 
 
+def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
+                      h_ref, e_ref, smax_ref, *,
+                      jt_steps: int, n_tiles: int, goe: int, ge: int, dtype,
+                      ceiling: int | None):
+    """Ragged whole-DB grid step: one (block, 32-db-step) work item.
+
+    Unlike _dp_kernel's rectangular (B, n_jt) grid, the grid here is a flat
+    stream of tiles spanning EVERY block of EVERY chunk of the database —
+    blocks of different lengths ride one kernel instance (one lowering, one
+    dispatch for the whole DB; the TPU analog of the reference's single
+    OpenMP work queue over heterogeneous chunks, SURVEY.md section 4.2).
+    Block boundaries come from the scalar-prefetched ``outrow`` map
+    (tile -> output row): a row change marks first/last tiles, so no extra
+    boundary arrays are needed in SMEM.
+    """
+    t = pl.program_id(0)
+    m, vk = h_ref.shape
+    neg = _negval(dtype)
+    c1 = ge - goe
+
+    row = outrow_ref[t]
+    is_first = jnp.logical_or(
+        t == 0, row != outrow_ref[jnp.maximum(t - 1, 0)])
+    is_last = jnp.logical_or(
+        t == n_tiles - 1, row != outrow_ref[jnp.minimum(t + 1, n_tiles - 1)])
+
+    ramp = ramp_ref[:].astype(dtype)                     # (m, 1)
+
+    @pl.when(is_first)
+    def _init():
+        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))       # H = 0 in real space
+        e_ref[:] = jnp.full_like(e_ref, neg)
+        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))    # Smax = 0 real
+
+    qpt = qpt_ref[:].astype(jnp.bfloat16)                # (m, 32), has +ge
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
+
+    SMAX_MERGE = 8
+
+    def score_at(j):
+        d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
+        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
+        return jnp.dot(qpt, onehot,
+                       preferred_element_type=jnp.float32)        # (m, Vk)
+
+    h = h_ref[:]
+    e = e_ref[:]
+    colmax = None
+    s_f32 = score_at(0)
+    for j in range(jt_steps):
+        s = s_f32.astype(dtype)
+        if j + 1 < jt_steps:
+            s_f32 = score_at(j + 1)
+
+        e = jnp.maximum(h - goe, e - ge)
+        hd = _shift_rows(h, 1, 0)                        # ramped Hdiag
+        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)   # ramp = 0-floor
+
+        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
+
+        f = _excl_cummax_rows(ht, neg) + c1
+        h = jnp.maximum(ht, f)
+        if ceiling is not None:
+            h = jnp.minimum(h, ramp + ceiling)
+
+        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
+            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
+            colmax = None
+    h_ref[:] = h
+    e_ref[:] = e
+
+    @pl.when(is_last)
+    def _write():
+        score = jnp.max(smax_ref[:] - ramp, axis=0)      # un-ramp, (Vk,)
+        mx = score.astype(jnp.int32)
+        out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "gap_open",
+                                             "gap_extend", "precision",
+                                             "jt_steps", "interpret",
+                                             "ceiling"))
+def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
+                qp: jnp.ndarray, gap_open: int, gap_extend: int,
+                precision: str = "f32", jt_steps: int = 32,
+                interpret: bool = False,
+                ceiling: int | None = None) -> jnp.ndarray:
+    """Score an entire ragged tile stream (all blocks, any lengths) in ONE
+    kernel dispatch.
+
+    Args:
+      tiles: (T, jt_steps, V) int8 packed db codes — the whole database as a
+        flat stream of 32-db-step tiles, block-major (each block's tiles
+        consecutive). V % 128 == 0 (or interpret mode).
+      outrow: (T,) int32 mapping tile -> output row; constant within a block,
+        strictly nondecreasing (0..n_rows-1).
+      n_rows: number of output rows (total blocks).
+      qp: (32, m) int32 query profile; m % 8 == 0, m <= max_query_pad().
+
+    Returns: (n_rows, V) int32 exact local-alignment scores.
+    """
+    T, jt, V = tiles.shape
+    assert jt == jt_steps
+    m = qp.shape[1]
+    dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
+
+    qpt = (qp.T + gap_extend).astype(jnp.int32)          # (m, 32)
+    ramp = ((jnp.arange(m, dtype=jnp.int32) + 1)
+            * gap_extend).reshape(m, 1)
+
+    kernel = functools.partial(
+        _dp_ragged_kernel, jt_steps=jt_steps, n_tiles=T,
+        goe=gap_open + gap_extend, ge=gap_extend, dtype=dtype,
+        ceiling=ceiling)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((m, TABLE_CODES), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, V), lambda t, o: (o[t], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m, V), dtype),                   # H'
+            pltpu.VMEM((m, V), dtype),                   # E'
+            pltpu.VMEM((m, V), dtype),                   # Smax'
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, 8, V), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * TABLE_CODES + 20) * m * V * jt_steps * T,
+            bytes_accessed=tiles.size + 4 * n_rows * V,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(outrow, jnp.int32), qpt, ramp, tiles)
+    return out[:, 0, :]
+
+
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
                                              "precision", "jt_steps",
                                              "interpret", "ceiling",

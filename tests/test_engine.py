@@ -60,7 +60,7 @@ def test_fused_path_matches_per_chunk(small_world):
     # to the per-chunk score + host top-k path (xla backend on CPU)
     recs, queries, packed = small_world
     cfg_fused = SearchConfig(backend="xla", precision="f32", top_k=10)
-    cfg_plain = SearchConfig(backend="xla", precision="adaptive", top_k=10)
+    cfg_plain = SearchConfig(backend="xla", precision="ladder", top_k=10)
     fused, _ = search(packed, queries, cfg_fused)
     plain, _ = search(packed, queries, cfg_plain)
     for r1, r2 in zip(fused, plain):

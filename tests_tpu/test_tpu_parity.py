@@ -91,6 +91,48 @@ def test_ladder_pallas_equals_exact():
     assert stats["tier_blocks"][1] >= 1
 
 
+def test_ragged_tiles_matches_c_oracle():
+    # mixed block lengths through ONE ragged kernel dispatch
+    q = random_codes(RNG, 144)
+    qp = jnp.asarray(build_query_profile(q, m_multiple=16))
+    blocks, seqs = [], []
+    for L in (96, 256, 96, 512, 32):
+        codes, s = _pack(RNG, 1, L, 128, q, homolog_lane=4)
+        blocks.append(codes[0])
+        seqs.extend(s)
+    tiles = np.concatenate([b.reshape(-1, 32, 128) for b in blocks])
+    outrow = np.concatenate(
+        [[i] * (b.shape[0] // 32) for i, b in enumerate(blocks)]
+    ).astype(np.int32)
+    got = np.asarray(pallas_scorer.score_tiles(
+        jnp.asarray(tiles), outrow, len(blocks), qp, 10, 2))
+    exp = cref.sw_score_many(q, seqs, M62, 10, 2)
+    np.testing.assert_array_equal(got.reshape(-1), exp)
+
+
+def test_fused_tiles_search_equals_ladder_serial():
+    import tempfile
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    queries = synth_queries(3, [60, 144, 300], seed=6)
+    recs = synth_db(800, seed=13, median_len=130, sigma=0.5, max_len=700,
+                    queries=[q.codes for q in queries], homolog_frac=0.03)
+    with tempfile.TemporaryDirectory() as td:
+        packed = build_db(recs, td, V=128)
+        fast, _ = search(packed, queries,
+                         SearchConfig(backend="pallas", precision="adaptive",
+                                      top_k=10))
+        slow, _ = search(packed, queries,
+                         SearchConfig(backend="pallas", precision="ladder",
+                                      top_k=10))
+        for r1, r2 in zip(fast, slow):
+            assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+                   [(h.score, h.sorted_idx) for h in r2.hits]
+
+
 def test_sharded_search_on_tpu_mesh():
     import tempfile
 
