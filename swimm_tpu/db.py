@@ -120,6 +120,30 @@ class PackedDb:
         self._flat_tiles_cache = (jt, result)
         return result
 
+    def lane_maps(self):
+        """Per flat lane (block-row-major, V lanes per row): validity mask
+        and sorted-db index. Shared by the fused serving path and the
+        sharded tile path. Returns (mask bool (n_rows*V,), lane2sorted
+        int32 (n_rows*V,)); pad lanes map to index 0 and mask False."""
+        cached = getattr(self, "_lane_maps_cache", None)
+        if cached is not None:
+            return cached
+        V = int(self.manifest["V"])
+        n = self.n_seqs
+        masks, l2s = [], []
+        for ch in self.chunks:
+            nlane = ch.n_blocks * ch.V
+            m = np.zeros(nlane, dtype=bool)
+            m[:ch.n_seqs] = True
+            masks.append(m)
+            l2s.append(np.minimum(np.arange(nlane), max(ch.n_seqs - 1, 0))
+                       + ch.base)
+        mask = np.concatenate(masks) if masks else np.zeros(0, bool)
+        lane2sorted = (np.concatenate(l2s).astype(np.int32)
+                       if l2s else np.zeros(0, np.int32))
+        self._lane_maps_cache = (mask, lane2sorted)
+        return self._lane_maps_cache
+
     def block_max_lengths(self) -> np.ndarray:
         """Per global block row, the longest TRUE sequence length in it
         (sequences are length-sorted ascending, so it's the last real lane).

@@ -186,24 +186,10 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
         return hit
 
     scorer = _chunk_scorer(config)
-    # valid-lane mask over the concatenated flat lanes of all chunks
-    total = sum(ch.n_blocks * ch.V for ch in packed.chunks)
-    mask = np.zeros(total, dtype=bool)
-    off = 0
-    offsets = []
-    for ch in packed.chunks:
-        n = ch.n_blocks * ch.V
-        mask[off:off + n][:ch.n_seqs] = True
-        offsets.append((off, ch.base))
-        off += n
+    # valid-lane mask + lane -> sorted-db index over the flat lane order
+    mask, lane2sorted = packed.lane_maps()
+    total = mask.shape[0]
     mask_dev = jnp.asarray(mask)
-    # flat lane -> sorted db index (pad lanes map to 0; masked out anyway)
-    lane2sorted = np.zeros(total, dtype=np.int32)
-    off = 0
-    for ch in packed.chunks:
-        n = ch.n_blocks * ch.V
-        lane2sorted[off:off + n] = np.minimum(np.arange(n), ch.n_seqs - 1) + ch.base
-        off += n
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
     if mode == "tiles":

@@ -110,6 +110,64 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     return Smax.max(axis=1).reshape(B, V)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "gap_open",
+                                             "gap_extend", "ceiling"))
+def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
+                qp: jnp.ndarray, gap_open: int, gap_extend: int,
+                ceiling: int | None = None) -> jnp.ndarray:
+    """Ragged whole-DB tile-stream scorer (XLA counterpart of
+    pallas_scorer.score_tiles; same contract): scan a block-major (T, jt, V)
+    stream, resetting DP state at block starts (outrow changes) and reading
+    each block's score off the stream with a segment max (valid because the
+    running Smax is nondecreasing within a block).
+
+    Returns (n_rows, V) int32 exact scores.
+    """
+    T, jt, V = tiles.shape
+    m = qp.shape[1]
+    goe = jnp.int32(gap_open + gap_extend)
+    ge = jnp.int32(gap_extend)
+    qp_bf16 = qp.astype(jnp.bfloat16)
+    ramp = (jnp.arange(m, dtype=jnp.int32) + 1) * ge
+
+    outrow = jnp.asarray(outrow, jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), outrow[1:] != outrow[:-1]])
+
+    def step(carry, d_j):
+        H, E, Smax = carry                                  # (V, m)
+        s = _score_tile(d_j, qp_bf16)
+        Hdiag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
+        E = jnp.maximum(H - goe, E - ge)
+        Ht = jnp.maximum(jnp.maximum(Hdiag + s, E), 0)
+        A = Ht - goe + ramp[None, :]
+        G = jax.lax.cummax(A, axis=1)
+        F = jnp.pad(G[:, :-1], ((0, 0), (1, 0)),
+                    constant_values=NEG) - ramp[None, :] + ge
+        H = jnp.maximum(Ht, F)
+        if ceiling is not None:
+            H = jnp.minimum(H, jnp.int32(ceiling))
+        Smax = jnp.maximum(Smax, H)
+        return (H, E, Smax), None
+
+    def tile_step(carry, inp):
+        H, E, Smax = carry
+        d_tile, fr = inp                                    # (jt, V), bool
+        H = jnp.where(fr, 0, H)
+        E = jnp.where(fr, NEG, E)
+        Smax = jnp.where(fr, 0, Smax)
+        (H, E, Smax), _ = jax.lax.scan(
+            step, (H, E, Smax), d_tile.astype(jnp.int32))
+        return (H, E, Smax), Smax.max(axis=1)               # (V,)
+
+    init = (jnp.zeros((V, m), jnp.int32),
+            jnp.full((V, m), NEG, jnp.int32),
+            jnp.zeros((V, m), jnp.int32))
+    _, ys = jax.lax.scan(tile_step, init, (tiles, first))   # ys: (T, V)
+    return jax.ops.segment_max(ys, outrow, num_segments=n_rows,
+                               indices_are_sorted=True)
+
+
 def score_packed_db(packed, query_codes, matrix="BLOSUM62",
                     gap_open: int = 10, gap_extend: int = 2) -> np.ndarray:
     """Convenience: score a whole PackedDb vs one query; returns (n_seqs,)

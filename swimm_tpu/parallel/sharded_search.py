@@ -75,8 +75,15 @@ def sharded_chunk_topk(codes, qps, *, mesh, gap_open, gap_extend,
 
         def one(qp):
             if backend == "pallas":
-                s = score(codes_l, qp, gap_open, gap_extend,
-                          precision=precision)
+                from swimm_tpu.ops.pallas_scorer import max_query_pad
+                if qp.shape[1] > max_query_pad():
+                    from swimm_tpu.ops import longquery
+                    s = longquery.score_chunk_long(
+                        codes_l, qp, gap_open, gap_extend,
+                        precision=precision)
+                else:
+                    s = score(codes_l, qp, gap_open, gap_extend,
+                              precision=precision)
             else:
                 s = score(codes_l, qp, gap_open, gap_extend)
             return s.reshape(-1)
@@ -100,7 +107,129 @@ def sharded_chunk_topk(codes, qps, *, mesh, gap_open, gap_extend,
     return vals, idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_rows_local", "gap_open", "gap_extend",
+                     "backend", "k", "precision"))
+def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
+                       qps, *, mesh, n_rows_local, gap_open, gap_extend,
+                       backend="pallas", k=TOPK_PER_SHARD, precision="f32"):
+    """Whole-DB sharded search in ONE dispatch: each data shard scores its
+    ragged tile sub-stream with a single score_tiles kernel call, masks pad
+    lanes, takes its local top-k, and all_gathers candidates over 'data'.
+
+    Args (leading axis = 'data' shard; see build_tile_shards):
+      tiles_all:       (n_data, T_max, 32, V) int8
+      outrow_all:      (n_data, T_max) int32 local output rows (trash row =
+                       n_rows_local - 1 for padding tiles)
+      valid_all:       (n_data, n_rows_local * V) bool true-lane mask
+      lane2sorted_all: (n_data, n_rows_local * V) int32 -> sorted db index
+      qps:             (Q, 32, m) int32, Q divisible by the 'query' axis
+
+    Returns (vals, idx): (Q, n_data*k) candidate scores + sorted-db indices.
+    """
+    n_data = mesh.shape["data"]
+    V = tiles_all.shape[-1]
+    kk = min(k, n_rows_local * V)
+
+    def local(tiles_l, outrow_l, valid_l, lane2sorted_l, qps_l):
+        tiles_l = tiles_l[0]
+        outrow_l = outrow_l[0]
+        valid_l = valid_l[0]
+        lane2sorted_l = lane2sorted_l[0]
+
+        def one(qp):
+            if backend == "pallas":
+                from swimm_tpu.ops import pallas_scorer
+                s = pallas_scorer.score_tiles(
+                    tiles_l, outrow_l, n_rows_local, qp,
+                    gap_open, gap_extend, precision=precision)
+            else:
+                from swimm_tpu.ops import xla_scorer
+                s = xla_scorer.score_tiles(
+                    tiles_l, outrow_l, n_rows_local, qp,
+                    gap_open, gap_extend)
+            return jnp.where(valid_l, s.reshape(-1), -1)
+
+        scores = jnp.stack([one(qps_l[i]) for i in range(qps_l.shape[0])])
+        v, i = jax.lax.top_k(scores, kk)
+        gi = lane2sorted_l[i]
+        vg = jax.lax.all_gather(v, "data", axis=1)     # (Ql, n_data, kk)
+        ig = jax.lax.all_gather(gi, "data", axis=1)
+        Ql = vg.shape[0]
+        return (vg.reshape(Ql, n_data * kk), ig.reshape(Ql, n_data * kk))
+
+    vals, idx = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None, None), P("data", None),
+                  P("data", None), P("data", None), P("query", None, None)),
+        out_specs=(P("query", None), P("query", None)),
+        check_vma=False,
+    )(tiles_all, outrow_all, valid_all, lane2sorted_all, qps)
+    return vals, idx
+
+
 import weakref
+
+_TILE_SHARD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def build_tile_shards(packed: PackedDb, mesh):
+    """Partition the whole-DB ragged tile stream over the 'data' mesh axis.
+
+    Blocks are split into n_data contiguous groups balanced by TILE count
+    (compute is proportional to tiles, not blocks — the TPU analog of the
+    reference's dynamic chunk balancing, SURVEY.md section 4.3). Each
+    shard's stream is padded to a common T_max with PAD tiles routed to a
+    trash output row, so every device runs the same static shapes.
+
+    Returns (tiles_all, outrow_all, valid_all, lane2sorted_all,
+    n_rows_local) device arrays sharded over 'data' (weak-cached per
+    (db, mesh))."""
+    per_db = _TILE_SHARD_CACHE.setdefault(packed, {})
+    hit = per_db.get(mesh)
+    if hit is not None:
+        return hit
+
+    from swimm_tpu.alphabet import PAD_CODE
+    tiles, outrow, n_rows = packed.flat_tiles()
+    mask, lane2sorted = packed.lane_maps()
+    V = int(packed.manifest["V"])
+    n_data = int(mesh.shape["data"])
+    tb = np.bincount(outrow, minlength=n_rows)      # tiles per block
+    cum = np.concatenate([[0], np.cumsum(tb)])
+    T = int(cum[-1])
+    # contiguous block cuts at ~equal tile totals
+    targets = (np.arange(1, n_data) * T) // n_data
+    cuts = np.searchsorted(cum, targets, side="left")
+    bounds = np.concatenate([[0], cuts, [n_rows]])
+
+    R_loc = int(max(bounds[d + 1] - bounds[d] for d in range(n_data))) + 1
+    T_max = int(max(cum[bounds[d + 1]] - cum[bounds[d]]
+                    for d in range(n_data)))
+    tiles_all = np.full((n_data, max(T_max, 1), tiles.shape[1], V),
+                        PAD_CODE, dtype=np.int8)
+    outrow_all = np.full((n_data, max(T_max, 1)), R_loc - 1, dtype=np.int32)
+    valid_all = np.zeros((n_data, R_loc * V), dtype=bool)
+    l2s_all = np.zeros((n_data, R_loc * V), dtype=np.int32)
+    for d in range(n_data):
+        g0, g1 = int(bounds[d]), int(bounds[d + 1])
+        t0, t1 = int(cum[g0]), int(cum[g1])
+        tiles_all[d, :t1 - t0] = tiles[t0:t1]
+        outrow_all[d, :t1 - t0] = outrow[t0:t1] - g0
+        nlane = (g1 - g0) * V
+        valid_all[d, :nlane] = mask[g0 * V:g1 * V]
+        l2s_all[d, :nlane] = lane2sorted[g0 * V:g1 * V]
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    out = (put(tiles_all, P("data", None, None, None)),
+           put(outrow_all, P("data", None)),
+           put(valid_all, P("data", None)),
+           put(l2s_all, P("data", None)),
+           R_loc)
+    per_db[mesh] = out
+    return out
+
 
 _SHARDED_CHUNK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
@@ -177,34 +306,36 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         qps, NamedSharding(mesh, P("query", None, None)))
 
     Q = len(queries)
-    # per-query candidate pools across chunks (host-side merge, C13)
-    pool_v = [[] for _ in range(Q)]
-    pool_i = [[] for _ in range(Q)]
-    for ch in packed.chunks:
+    precision = ("f32" if config.precision in ("adaptive", "ladder")
+                 else config.precision)
+    from swimm_tpu.ops.pallas_scorer import max_query_pad
+    if backend == "pallas" and m_pad > max_query_pad():
+        # long queries exceed the single-pass kernel's VMEM budget; the
+        # per-chunk loop below handles them via the tiled long-query path
+        all_v, all_i = _sharded_chunks_fallback(
+            packed, qps_dev, mesh, config, backend, topk_per_shard,
+            precision, timer, Q)
+    else:
+        # whole-DB single dispatch: per-shard ragged kernel + collective
+        # candidate gather (BASELINE config 4)
         with timer.phase("h2d"):
-            codes_dev, Bp = shard_chunk_arrays(
-                np.ascontiguousarray(ch.codes), mesh,
-                db=packed, chunk_id=ch.chunk_id)
+            tiles_all, outrow_all, valid_all, l2s_all, R_loc = \
+                build_tile_shards(packed, mesh)
         with timer.phase("score+merge"):
-            vals, idx = sharded_chunk_topk(
-                codes_dev, qps_dev, mesh=mesh, gap_open=config.gap_open,
+            vals, idx = sharded_tiles_topk(
+                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
                 gap_extend=config.gap_extend, backend=backend,
-                k=topk_per_shard, precision=("f32" if config.precision ==
-                                             "adaptive" else config.precision))
-            vals = np.asarray(vals)[:Q]
-            idx = np.asarray(idx)[:Q]
-        for qi in range(Q):
-            # map chunk-local flat lane -> sorted db index; drop pad lanes
-            lane = idx[qi]
-            valid = lane < ch.n_seqs
-            pool_v[qi].append(vals[qi][valid])
-            pool_i[qi].append(lane[valid] + ch.base)
+                k=topk_per_shard, precision=precision)
+            all_v = np.asarray(vals)[:Q]
+            all_i = np.asarray(idx)[:Q]
 
     results = []
     with timer.phase("final_topk"):
         for qi, q in enumerate(queries):
-            v = np.concatenate(pool_v[qi])
-            i = np.concatenate(pool_i[qi])
+            keep = all_v[qi] >= 0
+            v = all_v[qi][keep]
+            i = all_i[qi][keep]
             k = min(config.top_k, len(v))
             order = np.lexsort((i, -v))[:k]
             hits = [Hit(r + 1, int(v[j]), int(i[j]),
@@ -222,6 +353,34 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         n_db_seqs=packed.n_seqs, n_queries=Q, seconds=seconds,
         timers=timer.report())
     return results, metrics
+
+
+def _sharded_chunks_fallback(packed, qps_dev, mesh, config, backend,
+                             topk_per_shard, precision, timer, Q):
+    """Per-chunk sharded scoring loop (one dispatch per chunk). Used when
+    the whole-DB ragged path can't run (long queries on the pallas
+    backend); also the historical reference for the tiles path."""
+    pool_v, pool_i = [[] for _ in range(Q)], [[] for _ in range(Q)]
+    for ch in packed.chunks:
+        with timer.phase("h2d"):
+            codes_dev, Bp = shard_chunk_arrays(
+                np.ascontiguousarray(ch.codes), mesh,
+                db=packed, chunk_id=ch.chunk_id)
+        with timer.phase("score+merge"):
+            vals, idx = sharded_chunk_topk(
+                codes_dev, qps_dev, mesh=mesh, gap_open=config.gap_open,
+                gap_extend=config.gap_extend, backend=backend,
+                k=topk_per_shard, precision=precision)
+            vals = np.asarray(vals)[:Q]
+            idx = np.asarray(idx)[:Q]
+        for qi in range(Q):
+            # map chunk-local flat lane -> sorted db index; drop pad lanes
+            lane = idx[qi]
+            valid = lane < ch.n_seqs
+            pool_v[qi].append(np.where(valid, vals[qi], -1))
+            pool_i[qi].append(np.where(valid, lane + ch.base, 0))
+    return (np.stack([np.concatenate(p) for p in pool_v]),
+            np.stack([np.concatenate(p) for p in pool_i]))
 
 
 def _fixed_profile(q, config, m_pad):
