@@ -46,6 +46,8 @@ class SearchConfig:
     m_multiple: int = 16         # query-length padding granularity: small
     # padding keeps GCUPS honest (real cells, not pad rows); each distinct
     # padded length is one jit variant, amortized by the compilation cache
+    query_pack: bool = True      # pack query batches along the profile axis
+    # (models/qpack.py): fixed compiled shapes + one dispatch per pack
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -228,6 +230,47 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     return step
 
 
+def _packed_search_step(packed: PackedDb, config: SearchConfig, k: int):
+    """Jitted whole-DB search step over a PACKED multi-query profile
+    (models/qpack.py): ONE ragged kernel dispatch scores every db block
+    against every query in the pack, then one vectorized lax.top_k over all
+    segment planes. Both the pack layout (seg ids) and the profile are
+    runtime inputs, so ANY batch composition reuses one compiled program
+    per (db, pack bucket, k) — the serving path compiles a handful of
+    programs total, ever.
+    """
+    from swimm_tpu.models.qpack import N_SEG_CAP
+    from swimm_tpu.ops import pallas_scorer
+
+    per_db = _SEARCH_STEP_CACHE.setdefault(packed, {})
+    key = ("packed", config.gap_open, config.gap_extend,
+           config.precision, k)
+    hit = per_db.get(key)
+    if hit is not None:
+        return hit
+
+    tiles_dev, outrow_dev, n_rows = device_tiles(packed)
+    mask, lane2sorted = packed.lane_maps()
+    total = mask.shape[0]
+    mask_dev = jnp.asarray(mask)
+    lane2sorted_dev = jnp.asarray(lane2sorted)
+    prec = "f32" if config.precision == "adaptive" else config.precision
+
+    @jax.jit
+    def pstep(qp, seg):
+        planes = pallas_scorer.score_tiles_packed(
+            tiles_dev, outrow_dev, n_rows, qp, seg,
+            config.gap_open, config.gap_extend,
+            n_seg_cap=N_SEG_CAP, precision=prec)   # (n_rows, n_seg//2, V)
+        flat = jnp.swapaxes(planes, 0, 1).reshape(N_SEG_CAP // 2, total)
+        flat = jnp.where(mask_dev[None, :], flat, -1)
+        v, i = jax.lax.top_k(flat, min(k, total))
+        return v, lane2sorted_dev[i]
+
+    per_db[key] = pstep
+    return pstep
+
+
 def _hits_from(packed: PackedDb, v: np.ndarray, si: np.ndarray, k: int):
     keep = np.nonzero(v >= 0)[0][:k]
     return [Hit(r + 1, int(v[j]), int(si[j]), int(packed.orig_index[si[j]]),
@@ -236,11 +279,24 @@ def _hits_from(packed: PackedDb, v: np.ndarray, si: np.ndarray, k: int):
 
 
 def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
-    """Whole-DB search for a query batch; one dispatch per m_pad group.
+    """Whole-DB search for a query batch.
+
+    On the pallas backend queries are PACKED along the profile axis
+    (models/qpack.py): one kernel dispatch per ~2048-row pack regardless of
+    batch composition, with fixed compiled shapes. Other configurations
+    group queries by padded profile length (one dispatch per m_pad group).
 
     Returns hit lists in input order."""
     from swimm_tpu.ops import pallas_scorer
     backend = config.resolve_backend()
+
+    if (backend == "pallas" and config.precision != "ladder"
+            and config.query_pack):
+        from swimm_tpu.models import qpack
+        if all(qpack._rows_needed(q.length) <= qpack.PACK_BUCKETS[-1]
+               for q in queries):
+            return _search_packed(packed, queries, config)
+
     # group queries by padded profile length (shape bucketing)
     groups: dict = {}
     mm = config.m_multiple
@@ -264,6 +320,25 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         sis = np.asarray(sis)
         for row, p in enumerate(positions):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
+    return out
+
+
+def _search_packed(packed: PackedDb, queries, config: SearchConfig):
+    """Packed-profile serving path: dispatch one packed kernel call (plus
+    one fused top-k) per pack; collect per-query hits from segment planes."""
+    from swimm_tpu.models.qpack import build_query_packs
+
+    step = _packed_search_step(packed, config, config.top_k)
+    packs = build_query_packs(queries, config.matrix)
+    pending = [(p, step(jnp.asarray(p.qp), jnp.asarray(p.seg_of_group)))
+               for p in packs]
+    out = [None] * len(queries)
+    for p, (vs, sis) in pending:
+        vs = np.asarray(vs)
+        sis = np.asarray(sis)
+        for e in p.entries:
+            out[e.query_pos] = _hits_from(packed, vs[e.seg // 2],
+                                          sis[e.seg // 2], config.top_k)
     return out
 
 

@@ -205,6 +205,40 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
         out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
 
 
+SEG_OFFSET = 1 << 18  # B in the segmented-carry domination argument: must
+# exceed every ramped DP value (< ~1.2e5) while B * (N_SEG_CAP - 1) + value
+# stays < 2^24 for f32 exactness (48 segments: 12.3M + 1.2e5 < 16.7M).
+
+
+def _excl_cummax_rows_seg(ht, segoff, neg):
+    """Segmented exclusive cummax along axis 0 of (m, Vk).
+
+    Segments are 8-row sublane groups labeled by a NONDECREASING id;
+    segoff = seg_id * SEG_OFFSET, shape (nch, 1). Within-group prefixes
+    never cross segments (models/qpack.py aligns queries to groups); the
+    group-carry ladder runs on offset values so earlier segments are
+    strictly dominated after the offset is subtracted (exact, see
+    SEG_OFFSET). Requires ht >= 0 (guaranteed: ht >= ramp >= 0).
+    """
+    m, vk = ht.shape
+    nch = m // SUB
+    g3 = ht.reshape(nch, SUB, vk)
+    k = 1
+    while k < SUB:
+        g3 = jnp.maximum(g3, jnp.pad(g3[:, :-k, :], ((0, 0), (k, 0), (0, 0)),
+                                     constant_values=neg))
+        k *= 2
+    gmax = g3[:, SUB - 1, :] + segoff     # (nch, Vk) offset group maxima
+    c = _shift_rows(gmax, 1, 0)           # fill 0: dominated (values >= 0)
+    k = 1
+    while k < nch:
+        c = jnp.maximum(c, _shift_rows(c, k, 0))
+        k *= 2
+    c = c - segoff                        # receiver-relative carry
+    g3 = jnp.maximum(g3, c[:, None, :])
+    return _shift_rows(g3.reshape(m, vk), 1, neg)
+
+
 def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
                       h_ref, e_ref, smax_ref, *,
                       jt_steps: int, n_tiles: int, goe: int, ge: int, dtype,
@@ -352,6 +386,187 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
         interpret=interpret,
     )(jnp.asarray(outrow, jnp.int32), qpt, ramp, tiles)
     return out[:, 0, :]
+
+
+def _dp_packed_kernel(outrow_ref, qpt_ref, ramp_ref, segoff_ref, segid_ref,
+                      c1v_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
+                      jt_steps: int, n_tiles: int, goe: int, ge: int, dtype,
+                      n_seg_cap: int):
+    """Ragged grid step over a PACKED multi-query profile (models/qpack.py).
+
+    Same DP as _dp_ragged_kernel with two changes: the F recovery is
+    segmented (queries must not see each other's F), and the block-end
+    write reduces per-SEGMENT score planes instead of one global max.
+
+    c1v is the per-row (ge - goe) add applied to the cummax — NEG_BIG at
+    segment-start rows, because the trailing exclusive shift in
+    _excl_cummax_rows_seg moves the previous segment's inclusive prefix
+    into each segment's first row; the poisoned add makes that leaked
+    value strictly dominated in h = max(ht, f) at zero extra cost (the
+    scalar +c1 becomes a column-broadcast add).
+    """
+    t = pl.program_id(0)
+    m, vk = h_ref.shape
+    nch = m // SUB
+    neg = _negval(dtype)
+
+    row = outrow_ref[t]
+    is_first = jnp.logical_or(
+        t == 0, row != outrow_ref[jnp.maximum(t - 1, 0)])
+    is_last = jnp.logical_or(
+        t == n_tiles - 1, row != outrow_ref[jnp.minimum(t + 1, n_tiles - 1)])
+
+    ramp = ramp_ref[:].astype(dtype)                     # (m, 1)
+    segoff = segoff_ref[:].astype(dtype)                 # (nch, 1)
+    c1v = c1v_ref[:].astype(dtype)                       # (m, 1)
+
+    @pl.when(is_first)
+    def _init():
+        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+        e_ref[:] = jnp.full_like(e_ref, neg)
+        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+
+    qpt = qpt_ref[:].astype(jnp.bfloat16)
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
+
+    SMAX_MERGE = 8
+
+    def score_at(j):
+        d = db_ref[0, j, :].astype(jnp.int32)
+        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)
+        return jnp.dot(qpt, onehot, preferred_element_type=jnp.float32)
+
+    h = h_ref[:]
+    e = e_ref[:]
+    colmax = None
+    s_f32 = score_at(0)
+    for j in range(jt_steps):
+        s = s_f32.astype(dtype)
+        if j + 1 < jt_steps:
+            s_f32 = score_at(j + 1)
+
+        e = jnp.maximum(h - goe, e - ge)
+        hd = _shift_rows(h, 1, 0)
+        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
+
+        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
+
+        f = _excl_cummax_rows_seg(ht, segoff, neg) + c1v
+        h = jnp.maximum(ht, f)
+
+        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
+            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
+            colmax = None
+    h_ref[:] = h
+    e_ref[:] = e
+
+    @pl.when(is_last)
+    def _write():
+        sm = smax_ref[:] - ramp                          # real row scores
+        sm3 = jnp.max(sm.reshape(nch, SUB, vk), axis=1)  # (nch, Vk)
+        segid = segid_ref[:]                             # (nch, 1) int32
+        planes = []
+        for p in range(n_seg_cap // 2):                  # static unroll;
+            # only EVEN seg ids are queries (odd = separators, qpack.py),
+            # so emit one plane per query slot
+            masked = jnp.where(segid == 2 * p, sm3, 0)
+            planes.append(jnp.max(masked, axis=0))       # (Vk,)
+        out_ref[0, :, :] = jnp.stack(planes).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_seg_cap",
+                                             "gap_open", "gap_extend",
+                                             "precision", "jt_steps",
+                                             "interpret"))
+def score_tiles_packed(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
+                       qp: jnp.ndarray, seg_of_group: jnp.ndarray,
+                       gap_open: int, gap_extend: int, n_seg_cap: int = 48,
+                       precision: str = "f32", jt_steps: int = 32,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Score a ragged tile stream against a PACKED multi-query profile in
+    one dispatch; every shape is fixed per (database, pack bucket), so a
+    server compiles a handful of programs total.
+
+    Args:
+      tiles/outrow/n_rows: as score_tiles.
+      qp: (32, M) int32 packed profile (models/qpack.build_query_packs).
+      seg_of_group: (M/8,) int32 nondecreasing segment ids.
+      n_seg_cap: static segment-plane count (models/qpack.N_SEG_CAP).
+
+    Returns: (n_rows, n_seg_cap // 2, V) int32 — exact per-(block, query
+    plane, lane) scores; plane p holds segment id 2p (queries occupy even
+    ids, models/qpack.py), so entry.seg // 2 indexes its plane. Unused
+    planes hold zeros.
+    """
+    T, jt, V = tiles.shape
+    assert jt == jt_steps
+    m = qp.shape[1]
+    nch = m // SUB
+    dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
+
+    qpt = (qp.T + gap_extend).astype(jnp.int32)
+    ramp = ((jnp.arange(m, dtype=jnp.int32) + 1)
+            * gap_extend).reshape(m, 1)
+    seg_flat = jnp.asarray(seg_of_group, jnp.int32)      # (nch,) traced:
+    # pack layout stays a runtime input so every layout shares one program
+    seg = seg_flat.reshape(nch, 1)
+    segoff = seg * SEG_OFFSET
+    # per-row cummax add: (ge - goe) normally, poisoned at segment starts
+    # (see _dp_packed_kernel docstring)
+    grp_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (seg_flat[1:] != seg_flat[:-1]).astype(jnp.int32)])
+    row_start = (grp_start[:, None]
+                 * (jax.lax.broadcasted_iota(jnp.int32, (nch, SUB), 1) == 0)
+                 ).reshape(m)
+    c1v = ((gap_extend - (gap_open + gap_extend))
+           - row_start * (1 << 20)).reshape(m, 1)
+
+    kernel = functools.partial(
+        _dp_packed_kernel, jt_steps=jt_steps, n_tiles=T,
+        goe=gap_open + gap_extend, ge=gap_extend, dtype=dtype,
+        n_seg_cap=n_seg_cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((m, TABLE_CODES), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nch, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_seg_cap // 2, V),
+                               lambda t, o: (o[t], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((m, V), dtype),
+            pltpu.VMEM((m, V), dtype),
+            pltpu.VMEM((m, V), dtype),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_seg_cap // 2, V),
+                                       jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * TABLE_CODES + 20) * m * V * jt_steps * T,
+            bytes_accessed=tiles.size + 4 * n_rows * n_seg_cap * V,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(outrow, jnp.int32), qpt, ramp, segoff, seg, c1v, tiles)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend",
