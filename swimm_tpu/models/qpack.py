@@ -44,8 +44,8 @@ N_SEG_CAP = 48               # max queries per pack (exactness bound: see
                              # SEG_OFFSET analysis in pallas_scorer)
 SEP_SCORE = -(1 << 17)       # separator profile value; bf16-exact power of
                              # two, dominates any |DP value| (< ~1.2e5)
-PACK_BUCKETS = tuple(range(256, 1025, 256))  # fixed compiled pack lengths
-# (multiples of 256 up to 1024: <= 4 kernel shapes ever, ~4% mean roundup
+PACK_BUCKETS = tuple(range(128, 1025, 128))  # fixed compiled pack lengths
+# (multiples of 128 up to 1024: <= 8 kernel shapes ever, ~2% mean roundup
 # waste; 1024 measures fastest per cell on v5e — larger state slows ~10%,
 # smaller amortizes worse)
 

@@ -45,7 +45,9 @@ import numpy as np
 
 from swimm_tpu.alphabet import TABLE_CODES
 
-NEG = jnp.int32(-(1 << 28))
+NEG = -(1 << 28)  # plain int: a module-level device array would pin the
+# sharding/mesh of whichever context touched it first (breaks shard_map
+# reuse across mesh sizes)
 
 
 def _score_tile(d_codes: jnp.ndarray, qp_bf16: jnp.ndarray) -> jnp.ndarray:
