@@ -81,7 +81,19 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    try:
+        return _run(build_parser().parse_args(argv))
+    except FileNotFoundError as e:
+        print(f"swtpu: error: file not found: {e.filename or e}",
+              file=sys.stderr)
+        return 2
+    except (KeyError, ValueError) as e:
+        msg = e.args[0] if e.args else e
+        print(f"swtpu: error: {msg}", file=sys.stderr)
+        return 2
+
+
+def _run(args) -> int:
     _enable_compile_cache()
 
     if args.command == "preprocess":

@@ -65,6 +65,47 @@ def host_block_range(n_blocks: int, mesh: Mesh) -> tuple[int, int]:
     return rows[0] * per_dev, (rows[-1] + 1) * per_dev
 
 
+def global_tile_shards(packed, mesh: Mesh):
+    """Multi-host counterpart of sharded_search.build_tile_shards: assemble
+    the globally-sharded whole-DB tile arrays with each host materializing
+    ONLY the shards its devices own (the packed DB is memmapped, so the
+    shard plan is an index computation; no cross-host data movement — each
+    host reads its slice of the chunk files, SURVEY.md section 6.8).
+
+    Returns (tiles_all, outrow_all, valid_all, lane2sorted_all,
+    n_rows_local) exactly like build_tile_shards; feed to
+    sharded_search.sharded_tiles_topk over the global mesh.
+    """
+    from swimm_tpu.parallel.sharded_search import plan_tile_shards
+
+    n_data = int(mesh.shape["data"])
+    shapes, build = plan_tile_shards(packed, n_data)
+    T_max, R_loc, V, jt = (shapes["T_max"], shapes["R_loc"], shapes["V"],
+                           shapes["jt"])
+    cache: dict = {}
+
+    def part(d: int, i: int):
+        if d not in cache:
+            cache[d] = build(d)
+        return cache[d][i]
+
+    def mk(shape, dtype, i, spec):
+        sharding = NamedSharding(mesh, spec)
+
+        def cb(index):
+            d = index[0].start or 0
+            return np.ascontiguousarray(part(d, i))[None]
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    tiles_all = mk((n_data, T_max, jt, V), np.int8, 0,
+                   P("data", None, None, None))
+    outrow_all = mk((n_data, T_max), np.int32, 1, P("data", None))
+    valid_all = mk((n_data, R_loc * V), bool, 2, P("data", None))
+    l2s_all = mk((n_data, R_loc * V), np.int32, 3, P("data", None))
+    return tiles_all, outrow_all, valid_all, l2s_all, R_loc
+
+
 def make_global_chunk(local_blocks: np.ndarray, n_blocks_global: int,
                       mesh: Mesh):
     """Build the globally-sharded (Bp, L, V) chunk array from this host's

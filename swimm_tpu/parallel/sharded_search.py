@@ -174,8 +174,8 @@ import weakref
 _TILE_SHARD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def build_tile_shards(packed: PackedDb, mesh):
-    """Partition the whole-DB ragged tile stream over the 'data' mesh axis.
+def plan_tile_shards(packed: PackedDb, n_data: int):
+    """Host-side shard plan for the whole-DB ragged tile stream.
 
     Blocks are split into n_data contiguous groups balanced by TILE count
     (compute is proportional to tiles, not blocks — the TPU analog of the
@@ -183,19 +183,14 @@ def build_tile_shards(packed: PackedDb, mesh):
     shard's stream is padded to a common T_max with PAD tiles routed to a
     trash output row, so every device runs the same static shapes.
 
-    Returns (tiles_all, outrow_all, valid_all, lane2sorted_all,
-    n_rows_local) device arrays sharded over 'data' (weak-cached per
-    (db, mesh))."""
-    per_db = _TILE_SHARD_CACHE.setdefault(packed, {})
-    hit = per_db.get(mesh)
-    if hit is not None:
-        return hit
-
+    Returns (shapes, build) where shapes = dict(T_max=..., R_loc=..., V=...)
+    and build(d) -> (tiles_d, outrow_d, valid_d, l2s_d) numpy arrays for
+    shard d — so a multi-host process can materialize ONLY its devices'
+    shards (parallel/distributed.py)."""
     from swimm_tpu.alphabet import PAD_CODE
     tiles, outrow, n_rows = packed.flat_tiles()
     mask, lane2sorted = packed.lane_maps()
     V = int(packed.manifest["V"])
-    n_data = int(mesh.shape["data"])
     tb = np.bincount(outrow, minlength=n_rows)      # tiles per block
     cum = np.concatenate([[0], np.cumsum(tb)])
     T = int(cum[-1])
@@ -205,28 +200,49 @@ def build_tile_shards(packed: PackedDb, mesh):
     bounds = np.concatenate([[0], cuts, [n_rows]])
 
     R_loc = int(max(bounds[d + 1] - bounds[d] for d in range(n_data))) + 1
-    T_max = int(max(cum[bounds[d + 1]] - cum[bounds[d]]
-                    for d in range(n_data)))
-    tiles_all = np.full((n_data, max(T_max, 1), tiles.shape[1], V),
-                        PAD_CODE, dtype=np.int8)
-    outrow_all = np.full((n_data, max(T_max, 1)), R_loc - 1, dtype=np.int32)
-    valid_all = np.zeros((n_data, R_loc * V), dtype=bool)
-    l2s_all = np.zeros((n_data, R_loc * V), dtype=np.int32)
-    for d in range(n_data):
+    T_max = max(int(max(cum[bounds[d + 1]] - cum[bounds[d]]
+                        for d in range(n_data))), 1)
+
+    def build(d: int):
         g0, g1 = int(bounds[d]), int(bounds[d + 1])
         t0, t1 = int(cum[g0]), int(cum[g1])
-        tiles_all[d, :t1 - t0] = tiles[t0:t1]
-        outrow_all[d, :t1 - t0] = outrow[t0:t1] - g0
+        tiles_d = np.full((T_max, tiles.shape[1], V), PAD_CODE, np.int8)
+        outrow_d = np.full((T_max,), R_loc - 1, np.int32)
+        valid_d = np.zeros((R_loc * V,), bool)
+        l2s_d = np.zeros((R_loc * V,), np.int32)
+        tiles_d[:t1 - t0] = tiles[t0:t1]
+        outrow_d[:t1 - t0] = outrow[t0:t1] - g0
         nlane = (g1 - g0) * V
-        valid_all[d, :nlane] = mask[g0 * V:g1 * V]
-        l2s_all[d, :nlane] = lane2sorted[g0 * V:g1 * V]
+        valid_d[:nlane] = mask[g0 * V:g1 * V]
+        l2s_d[:nlane] = lane2sorted[g0 * V:g1 * V]
+        return tiles_d, outrow_d, valid_d, l2s_d
+
+    return {"T_max": T_max, "R_loc": R_loc, "V": V, "n_data": n_data,
+            "jt": tiles.shape[1]}, build
+
+
+def build_tile_shards(packed: PackedDb, mesh):
+    """Device-resident tile shards over the 'data' mesh axis (single-host
+    path: all shards built locally and device_put sharded). Returns
+    (tiles_all, outrow_all, valid_all, lane2sorted_all, n_rows_local);
+    weak-cached per (db, mesh). Multi-host jobs use
+    parallel.distributed.global_tile_shards instead."""
+    per_db = _TILE_SHARD_CACHE.setdefault(packed, {})
+    hit = per_db.get(mesh)
+    if hit is not None:
+        return hit
+
+    n_data = int(mesh.shape["data"])
+    shapes, build = plan_tile_shards(packed, n_data)
+    parts = [build(d) for d in range(n_data)]
+    stacked = [np.stack([p[i] for p in parts]) for i in range(4)]
 
     put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-    out = (put(tiles_all, P("data", None, None, None)),
-           put(outrow_all, P("data", None)),
-           put(valid_all, P("data", None)),
-           put(l2s_all, P("data", None)),
-           R_loc)
+    out = (put(stacked[0], P("data", None, None, None)),
+           put(stacked[1], P("data", None)),
+           put(stacked[2], P("data", None)),
+           put(stacked[3], P("data", None)),
+           shapes["R_loc"])
     per_db[mesh] = out
     return out
 

@@ -33,3 +33,23 @@ def test_cli_pipeline(tmp_path, capsys):
     assert len(payload["results"]) == 2
     assert len(payload["results"][0]["hits"]) == 5
     assert payload["metrics"]["gcups"] > 0
+
+
+def test_cli_clean_errors(tmp_path, capsys):
+    qfa = tmp_path / "q.fasta"
+    write_fasta(qfa, synth_queries(1, [30], seed=4))
+    # missing DB dir
+    assert main(["search", "-d", str(tmp_path / "nope"), "-q", str(qfa)]) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("swtpu: error:") and "manifest.json" in err
+    # unknown matrix
+    dbfa = tmp_path / "db.fasta"
+    dbdir = tmp_path / "packed"
+    assert main(["synth", "-o", str(dbfa), "-n", "40", "--seed", "1"]) == 0
+    assert main(["preprocess", "-i", str(dbfa), "-o", str(dbdir),
+                 "--lanes", "8"]) == 0
+    capsys.readouterr()
+    assert main(["search", "-d", str(dbdir), "-q", str(qfa),
+                 "-s", "BLOSUM63", "--backend", "xla"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown substitution matrix" in err and "BLOSUM62" in err

@@ -59,3 +59,25 @@ def test_uneven_blocks_padding(world):
     shard, _ = sharded_search(packed, queries, cfg, mesh=mesh)
     assert [(h.score, h.sorted_idx) for h in shard[0].hits] == \
            [(h.score, h.sorted_idx) for h in serial[0].hits]
+
+
+def test_global_tile_shards_matches_local(world):
+    # multi-host assembly path (make_array_from_callback) must produce the
+    # same globally-sharded arrays + identical search results
+    from swimm_tpu.parallel.distributed import global_tile_shards
+    from swimm_tpu.parallel.sharded_search import (build_tile_shards,
+                                                   plan_tile_shards,
+                                                   sharded_tiles_topk)
+    packed, queries, cfg, serial = world
+    mesh = make_mesh(4, query_axis=1)
+    loc = build_tile_shards(packed, mesh)
+    glo = global_tile_shards(packed, mesh)
+    assert loc[4] == glo[4]
+    for a, b in zip(loc[:4], glo[:4]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # plan: every real tile appears exactly once across shards
+    shapes, build = plan_tile_shards(packed, 4)
+    total_real = sum(int((build(d)[1] != shapes["R_loc"] - 1).sum())
+                     for d in range(4))
+    assert total_real == packed.flat_tiles()[0].shape[0]
