@@ -130,9 +130,24 @@ def device_chunks(packed: PackedDb):
 def score_db(packed: PackedDb, query: FastaRecord,
              config: SearchConfig) -> np.ndarray:
     """All-lane scores for one query, in sorted-db order (n_seqs,)."""
-    scorer = _chunk_scorer(config)
     qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
                                          config.m_multiple))
+    if (config.precision == "ladder"
+            and config.resolve_backend() == "pallas"):
+        from swimm_tpu.ops import ladder, pallas_scorer
+        if qp.shape[1] <= pallas_scorer.max_query_pad():
+            # whole-DB block-granular ladder: one dispatch per tier
+            dt, do, _ = device_tiles(packed)
+            scores2d, _ = ladder.score_db_adaptive(
+                packed, qp, query.length, config.gap_open,
+                config.gap_extend, matrix=config.matrix,
+                dev_tiles=dt, dev_outrow=do)
+            mask, lane2sorted = packed.lane_maps()
+            flat = scores2d.reshape(-1)
+            out = np.zeros(packed.n_seqs, dtype=np.int32)
+            out[lane2sorted[mask]] = flat[mask]
+            return out
+    scorer = _chunk_scorer(config)
     out = np.zeros(packed.n_seqs, dtype=np.int32)
     dev = device_chunks(packed)
     # dispatch all chunks asynchronously, then drain (overlaps host loop

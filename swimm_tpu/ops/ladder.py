@@ -57,6 +57,95 @@ def max_possible_score(query_len: int, seq_len: int,
     return int(min(query_len, seq_len) * int(np.diag(mat).max()))
 
 
+def _pow2(n: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+
+def score_db_adaptive(packed, qp, query_len: int, gap_open: int,
+                      gap_extend: int, tiers=DEFAULT_TIERS,
+                      matrix="BLOSUM62", interpret: bool = False,
+                      dev_tiles=None, dev_outrow=None):
+    """Whole-database precision ladder over the ragged tile stream.
+
+    The SURVEY.md section 4.4 control flow at BLOCK granularity across the
+    ENTIRE database in one kernel dispatch per tier: a saturating
+    first-tier pass over every block, then recompute passes over only the
+    blocks that (a) saturated and (b) are not PROVABLY under the ceiling —
+    the per-block score upper bound min(query_len, block_max_len) *
+    max_diag (length-sorted packing makes short blocks provably narrow:
+    BASELINE config 5's mixed-precision lanes). Recompute sub-streams are
+    padded to power-of-two shapes so tier passes reuse a bounded set of
+    compiled programs.
+
+    Returns (scores (n_rows, V) int32 — bit-identical to an exact pass —
+    and a stats dict with per-tier block counts).
+    """
+    import jax.numpy as jnp
+
+    from swimm_tpu.alphabet import PAD_CODE
+    from swimm_tpu.ops import pallas_scorer
+
+    from swimm_tpu.matrices import get_matrix
+
+    tiles, outrow, n_rows = packed.flat_tiles()
+    V = int(packed.manifest["V"])
+    jt = tiles.shape[1]
+    mat = get_matrix(matrix) if isinstance(matrix, str) else matrix
+    maxdiag = int(np.diag(np.asarray(mat)).max())
+    bounds = np.minimum(query_len, packed.block_max_lengths()) * maxdiag
+
+    # drop tiers that can never be exceeded by ANY block
+    kept = []
+    for t in tiers:
+        kept.append(t)
+        if t is not None and t >= int(bounds.max()):
+            kept[-1] = None          # covering tier needs no ceiling
+            break
+    tiers = tuple(kept)
+
+    if dev_tiles is None:
+        dev_tiles = jnp.asarray(tiles)
+        dev_outrow = jnp.asarray(outrow)
+    scores = np.array(pallas_scorer.score_tiles(
+        dev_tiles, dev_outrow, n_rows, qp, gap_open, gap_extend,
+        ceiling=tiers[0], interpret=interpret))
+    stats = {"tier_ceilings": list(tiers), "tier_blocks": [n_rows]}
+    if tiers[0] is None or len(tiers) == 1:
+        return scores, stats
+
+    pending = np.nonzero((scores >= tiers[0]).any(axis=1)
+                         & (bounds > tiers[0]))[0]
+    for tier in tiers[1:]:
+        stats["tier_blocks"].append(int(len(pending)))
+        if len(pending) == 0:
+            break
+        # gather the pending blocks' tiles into a padded sub-stream
+        sel = np.isin(outrow, pending)
+        sub_tiles = tiles[sel]
+        remap = {int(g): i for i, g in enumerate(pending)}
+        sub_outrow = np.fromiter((remap[int(g)] for g in outrow[sel]),
+                                 np.int32, count=int(sel.sum()))
+        nr_pad = _pow2(len(pending) + 1)
+        t_pad = _pow2(sub_tiles.shape[0])
+        if t_pad != sub_tiles.shape[0]:
+            extra = t_pad - sub_tiles.shape[0]
+            sub_tiles = np.concatenate(
+                [sub_tiles,
+                 np.full((extra, jt, V), PAD_CODE, np.int8)])
+            sub_outrow = np.concatenate(
+                [sub_outrow, np.full(extra, nr_pad - 1, np.int32)])
+        wider = np.asarray(pallas_scorer.score_tiles(
+            jnp.asarray(sub_tiles), jnp.asarray(sub_outrow), nr_pad,
+            qp, gap_open, gap_extend, ceiling=tier,
+            interpret=interpret))[:len(pending)]
+        scores[pending] = wider
+        if tier is None:
+            break
+        pending = pending[(wider >= tier).any(axis=1)
+                          & (bounds[pending] > tier)]
+    return scores, stats
+
+
 def score_chunk_adaptive(codes, qp, gap_open: int, gap_extend: int,
                          tiers=DEFAULT_TIERS, backend: str = "pallas",
                          upper_bound: int | None = None):

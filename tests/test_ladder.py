@@ -82,3 +82,30 @@ def test_max_possible_score():
     # BLOSUM62 best diagonal is W:W = 11
     assert max_possible_score(10, 100) == 110
     assert max_possible_score(100, 10) == 110
+
+
+def test_score_db_adaptive_equals_exact(tmp_path):
+    # whole-DB block-granular ladder (interpret mode): scores identical to
+    # an exact pass; saturated blocks escalate, provably-narrow ones don't
+    import jax.numpy as jnp
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.models.profile import build_query_profile
+    from swimm_tpu.ops import ladder, pallas_scorer
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    queries = synth_queries(1, [48], seed=9)
+    q = queries[0]
+    recs = synth_db(150, seed=10, median_len=50, sigma=0.5, max_len=160,
+                    queries=[q.codes], homolog_frac=0.08)
+    packed = build_db(recs, tmp_path / "db", V=8)
+    qp = jnp.asarray(build_query_profile(q.codes, m_multiple=8))
+    scores, stats = ladder.score_db_adaptive(
+        packed, qp, q.length, 10, 2, interpret=True)
+    tiles, outrow, n_rows = packed.flat_tiles()
+    exact = np.asarray(pallas_scorer.score_tiles(
+        jnp.asarray(tiles), outrow, n_rows, qp, 10, 2, interpret=True))
+    assert np.array_equal(scores, exact)
+    # homologs force int8-tier saturation and a tier-2 recompute
+    assert exact.max() > ladder.INT8_CEIL
+    assert stats["tier_blocks"][1] >= 1
