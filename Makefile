@@ -13,6 +13,12 @@ csrc/libswref.so: csrc/swref.c
 csrc/libswpack.so: csrc/swpack.c
 	$(CC) $(CFLAGS) -o $@ $<
 
+# sanitizer build of the native components (SURVEY.md 6.2: the reference
+# avoided races structurally; our native code is single-threaded C, checked
+# under ASan+UBSan here)
+asan: CFLAGS = -O1 -g -fPIC -shared -Wall -fsanitize=address,undefined
+asan: clean all
+
 test:
 	python -m pytest tests/ -q
 
