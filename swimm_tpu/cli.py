@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "recheck (SURVEY.md 4.4)")
     se.add_argument("--sharded", action="store_true",
                     help="data-parallel search over all local devices")
+    se.add_argument("--no-query-pack", action="store_true",
+                    help="compile one kernel shape per padded query length "
+                         "instead of packing the batch into fixed-size "
+                         "profiles (max steady-state throughput, unbounded "
+                         "compile variants)")
+    se.add_argument("--topk-per-shard", type=int, default=256,
+                    help="candidates gathered per data shard before the "
+                         "collective merge (--sharded only)")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -126,7 +134,8 @@ def _run(args) -> int:
         queries = read_fasta(args.query)
         config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
                               gap_extend=args.gap_extend, top_k=args.top_k,
-                              backend=args.backend, precision=args.precision)
+                              backend=args.backend, precision=args.precision,
+                              query_pack=not args.no_query_pack)
         prof = contextlib.nullcontext()
         if args.profile_dir:
             import jax
@@ -134,7 +143,9 @@ def _run(args) -> int:
         with prof:
             if args.sharded:
                 from swimm_tpu.parallel.sharded_search import sharded_search
-                results, metrics = sharded_search(packed, queries, config)
+                results, metrics = sharded_search(
+                    packed, queries, config,
+                    topk_per_shard=args.topk_per_shard)
             else:
                 results, metrics = search(packed, queries, config)
         if args.json:
