@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "recheck (SURVEY.md 4.4)")
     se.add_argument("--sharded", action="store_true",
                     help="data-parallel search over all local devices")
+    se.add_argument("--stream", action="store_true",
+                    help="stream the DB through HBM in double-buffered "
+                         "windows (for databases larger than device memory)")
     se.add_argument("--no-query-pack", action="store_true",
                     help="compile one kernel shape per padded query length "
                          "instead of packing the batch into fixed-size "
@@ -135,7 +138,8 @@ def _run(args) -> int:
         config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
                               gap_extend=args.gap_extend, top_k=args.top_k,
                               backend=args.backend, precision=args.precision,
-                              query_pack=not args.no_query_pack)
+                              query_pack=not args.no_query_pack,
+                              db_stream=args.stream)
         prof = contextlib.nullcontext()
         if args.profile_dir:
             import jax

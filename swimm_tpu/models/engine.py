@@ -48,6 +48,8 @@ class SearchConfig:
     # padded length is one jit variant, amortized by the compilation cache
     query_pack: bool = True      # pack query batches along the profile axis
     # (models/qpack.py): fixed compiled shapes + one dispatch per pack
+    db_stream: bool = False      # stream the DB through HBM in fixed-size
+    # double-buffered windows (for DBs larger than device memory)
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -125,6 +127,87 @@ def device_chunks(packed: PackedDb):
                   for ch in packed.chunks]
         _DEVICE_CHUNK_CACHE[packed] = cached
     return cached
+
+
+def _tile_windows(packed: PackedDb, window_tiles: int):
+    """Split the flat tile stream into fixed-shape windows at BLOCK
+    boundaries (no block spans two windows). Yields
+    (tiles_np (W, jt, V) PAD-padded, outrow_local (W,), g0, n_rows_w);
+    every window shares one compiled kernel shape."""
+    from swimm_tpu.alphabet import PAD_CODE
+    tiles, outrow, n_rows = packed.flat_tiles()
+    tb = np.bincount(outrow, minlength=n_rows)
+    cum = np.concatenate([[0], np.cumsum(tb)])
+    assert int(tb.max()) <= window_tiles, \
+        f"a block has {int(tb.max())} tiles > window_tiles={window_tiles}"
+    r_cap = 0
+    spans = []
+    g0 = 0
+    while g0 < n_rows:
+        g1 = int(np.searchsorted(cum, cum[g0] + window_tiles,
+                                 side="right")) - 1
+        g1 = max(g1, g0 + 1)
+        spans.append((g0, g1))
+        r_cap = max(r_cap, g1 - g0)
+        g0 = g1
+    jt, V = tiles.shape[1], tiles.shape[2]
+    for g0, g1 in spans:
+        t0, t1 = int(cum[g0]), int(cum[g1])
+        win = np.full((window_tiles, jt, V), PAD_CODE, np.int8)
+        orow = np.full(window_tiles, r_cap, np.int32)   # trash row
+        win[:t1 - t0] = tiles[t0:t1]
+        orow[:t1 - t0] = outrow[t0:t1] - g0
+        yield win, orow, g0, g1 - g0, r_cap + 1
+
+
+def score_db_streaming(packed: PackedDb, query: FastaRecord,
+                       config: SearchConfig,
+                       window_tiles: int = 8192,
+                       max_in_flight: int = 2) -> np.ndarray:
+    """Score one query against a database too large to live in HBM.
+
+    The host input pipeline of SURVEY.md section 8: the tile stream is cut
+    into fixed-shape windows (one compiled kernel), each window's upload
+    overlaps the previous window's compute (jax async dispatch), and at
+    most max_in_flight windows of device memory are alive — ~33 MB per
+    8192-tile window, independent of DB size.
+
+    Returns (n_seqs,) int32 scores in sorted-db order.
+    """
+    backend = config.resolve_backend()
+    if backend == "pallas":
+        from swimm_tpu.ops.pallas_scorer import score_tiles
+    else:
+        from swimm_tpu.ops.xla_scorer import score_tiles
+    prec = {} if backend != "pallas" else {
+        "precision": "f32" if config.precision in ("adaptive", "ladder")
+        else config.precision}
+    qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
+                                         config.m_multiple))
+    _, _, n_rows = packed.flat_tiles()
+    V = int(packed.manifest["V"])
+    scores = np.zeros((n_rows, V), np.int32)
+    from collections import deque
+    pending: "deque" = deque()
+
+    def drain():
+        g0, n_w, res = pending.popleft()
+        scores[g0:g0 + n_w] = np.asarray(res)[:n_w]
+
+    for win, orow, g0, n_w, r_cap in _tile_windows(packed, window_tiles):
+        dev = jnp.asarray(win)                      # async H2D
+        res = score_tiles(dev, jnp.asarray(orow), r_cap, qp,
+                          config.gap_open, config.gap_extend, **prec)
+        pending.append((g0, n_w, res))
+        if len(pending) > max_in_flight:
+            drain()
+    while pending:
+        drain()
+    mask, lane2sorted = packed.lane_maps()
+    flat = scores.reshape(-1)
+    out = np.zeros(packed.n_seqs, dtype=np.int32)
+    out[lane2sorted[mask]] = flat[mask]
+    return out
 
 
 def score_db(packed: PackedDb, query: FastaRecord,
@@ -396,16 +479,26 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
         mm = config.m_multiple
         max_m = max((-(-max(q.length, 1) // mm) * mm for q in queries),
                     default=0)
-        if (config.resolve_backend() == "pallas"
+        if config.db_stream:
+            pass                      # windows upload during scoring
+        elif (config.resolve_backend() == "pallas"
                 and config.precision != "ladder"
                 and max_m <= pallas_scorer.max_query_pad()):
             device_tiles(packed)
         else:
             device_chunks(packed)
+    if config.db_stream:
+        # HBM-streaming path: per-query windowed scoring + host top-k
+        for q in queries:
+            with timer.phase("score"):
+                scores = score_db_streaming(packed, q, config)
+            with timer.phase("topk"):
+                hits = top_k_hits(packed, scores, config.top_k)
+            results.append(QueryResult(q.title, q.length, hits))
     # serving fast path: queries batched into one fused dispatch per padded
     # profile length, device-side top-k; the narrow-tier ladder needs
     # host-side escalation, so it stays per-chunk per-query
-    if config.precision != "ladder":
+    elif config.precision != "ladder":
         with timer.phase("score"):
             hit_lists = search_fused_batch(packed, queries, config)
         results = [QueryResult(q.title, q.length, h)

@@ -66,3 +66,30 @@ def test_fused_path_matches_per_chunk(small_world):
     for r1, r2 in zip(fused, plain):
         assert [(h.score, h.sorted_idx) for h in r1.hits] == \
                [(h.score, h.sorted_idx) for h in r2.hits]
+
+
+def test_streaming_matches_resident(small_world):
+    # HBM-streaming windowed path must match the resident fused path
+    recs, queries, packed = small_world
+    resident, _ = search(packed, queries,
+                         SearchConfig(backend="xla", precision="f32",
+                                      top_k=10))
+    streamed, _ = search(packed, queries,
+                         SearchConfig(backend="xla", precision="f32",
+                                      top_k=10, db_stream=True))
+    for r1, r2 in zip(resident, streamed):
+        assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+               [(h.score, h.sorted_idx) for h in r2.hits]
+
+
+def test_streaming_small_windows(small_world):
+    # tiny windows force many boundaries; exactness must hold
+    from swimm_tpu.models.engine import score_db, score_db_streaming
+    recs, queries, packed = small_world
+    cfg = SearchConfig(backend="xla", precision="f32")
+    q = queries[0]
+    base = score_db(packed, q, cfg)
+    tb = np.bincount(packed.flat_tiles()[1])
+    w = max(int(tb.max()), 2)
+    got = score_db_streaming(packed, q, cfg, window_tiles=w)
+    assert np.array_equal(got, base)
