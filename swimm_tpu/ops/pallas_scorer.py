@@ -124,37 +124,34 @@ def _excl_cummax_rows(ht, neg):
     return _shift_rows(g3.reshape(m, vk), 1, neg)
 
 
-def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
-               jt_steps: int, n_jt: int, goe: int, ge: int, dtype,
-               ceiling: int | None):
-    """One grid step: advance one 128-lane block by jt_steps db residues.
-
-    Grid = (B, n_jt), jt fastest. Scratch (persistent across jt):
-      h_ref/e_ref/smax_ref: (m, Vk) ramped-space DP state.
-    Inputs: qpt_ref (m, 32) ge-folded query profile (transposed);
-            ramp_ref (m, 1) ramp vector r(i) = (i+1)*ge.
-    """
-    jt = pl.program_id(1)
+def _dp_init(h_ref, e_ref, smax_ref, ramp, neg):
+    """Reset ramped-space DP state for a fresh block (H = Smax = 0 real)."""
     m, vk = h_ref.shape
-    neg = _negval(dtype)
-    c1 = ge - goe
+    h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+    e_ref[:] = jnp.full_like(e_ref, neg)
+    smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
 
-    ramp = ramp_ref[:].astype(dtype)                     # (m, 1)
 
-    @pl.when(jt == 0)
-    def _init():
-        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))       # H = 0 in real space
-        e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))    # Smax = 0 real
+def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
+              jt_steps: int, goe: int, ge: int, dtype,
+              ceiling: int | None, f_of_ht):
+    """Advance the (m, Vk) ramped-space DP state by jt_steps db residues —
+    the shared hot loop of every kernel variant (rectangular, ragged,
+    packed; they differ only in boundary logic, F recovery, and the
+    block-end write).
 
+    Carries H/E as values across the unrolled loop (one VMEM load/store per
+    tile instead of per step); merges the running column max into Smax only
+    every SMAX_MERGE steps. The score matmul for step j+1 is issued before
+    step j's VPU chain (manual software pipelining: the MXU runs under the
+    VPU's serial H/E/F dependency chain instead of in front of it).
+
+    f_of_ht(ht) must return the full F column INCLUDING the (ge - goe)
+    gap-open charge (a per-row vector on the packed path).
+    """
+    m, vk = h_ref.shape
     qpt = qpt_ref[:].astype(jnp.bfloat16)                # (m, 32), has +ge
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-
-    # Carry H/E as values across the unrolled loop (one VMEM load/store per
-    # tile instead of per step); merge the running column max into Smax only
-    # every SMAX_MERGE steps. The score matmul for step j+1 is issued before
-    # step j's VPU chain (manual software pipelining: the MXU runs under the
-    # VPU's serial H/E/F dependency chain instead of in front of it).
     SMAX_MERGE = 8
 
     def score_at(j):
@@ -182,8 +179,7 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
         # decouples the running-max update from the F dependency chain.
         colmax = ht if colmax is None else jnp.maximum(colmax, ht)
 
-        f = _excl_cummax_rows(ht, neg) + c1
-        h = jnp.maximum(ht, f)
+        h = jnp.maximum(ht, f_of_ht(ht))
         if ceiling is not None:
             # saturating tier: clamp real H at `ceiling` (ramped: ceil+r(i));
             # lanes that touch the ceiling are flagged for recompute at the
@@ -197,6 +193,31 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
             colmax = None
     h_ref[:] = h
     e_ref[:] = e
+
+
+def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
+               jt_steps: int, n_jt: int, goe: int, ge: int, dtype,
+               ceiling: int | None):
+    """One grid step: advance one 128-lane block by jt_steps db residues.
+
+    Grid = (B, n_jt), jt fastest. Scratch (persistent across jt):
+      h_ref/e_ref/smax_ref: (m, Vk) ramped-space DP state.
+    Inputs: qpt_ref (m, 32) ge-folded query profile (transposed);
+            ramp_ref (m, 1) ramp vector r(i) = (i+1)*ge.
+    """
+    jt = pl.program_id(1)
+    neg = _negval(dtype)
+    c1 = ge - goe
+    ramp = ramp_ref[:].astype(dtype)                     # (m, 1)
+
+    @pl.when(jt == 0)
+    def _init():
+        _dp_init(h_ref, e_ref, smax_ref, ramp, neg)
+
+    _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref,
+              jt_steps=jt_steps, goe=goe, ge=ge, dtype=dtype,
+              ceiling=ceiling,
+              f_of_ht=lambda ht: _excl_cummax_rows(ht, neg) + c1)
 
     @pl.when(jt == n_jt - 1)
     def _write():
@@ -255,7 +276,6 @@ def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
     boundary arrays are needed in SMEM.
     """
     t = pl.program_id(0)
-    m, vk = h_ref.shape
     neg = _negval(dtype)
     c1 = ge - goe
 
@@ -269,46 +289,12 @@ def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
 
     @pl.when(is_first)
     def _init():
-        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))       # H = 0 in real space
-        e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))    # Smax = 0 real
+        _dp_init(h_ref, e_ref, smax_ref, ramp, neg)
 
-    qpt = qpt_ref[:].astype(jnp.bfloat16)                # (m, 32), has +ge
-    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-
-    SMAX_MERGE = 8
-
-    def score_at(j):
-        d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
-        return jnp.dot(qpt, onehot,
-                       preferred_element_type=jnp.float32)        # (m, Vk)
-
-    h = h_ref[:]
-    e = e_ref[:]
-    colmax = None
-    s_f32 = score_at(0)
-    for j in range(jt_steps):
-        s = s_f32.astype(dtype)
-        if j + 1 < jt_steps:
-            s_f32 = score_at(j + 1)
-
-        e = jnp.maximum(h - goe, e - ge)
-        hd = _shift_rows(h, 1, 0)                        # ramped Hdiag
-        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)   # ramp = 0-floor
-
-        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
-
-        f = _excl_cummax_rows(ht, neg) + c1
-        h = jnp.maximum(ht, f)
-        if ceiling is not None:
-            h = jnp.minimum(h, ramp + ceiling)
-
-        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
-            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
-            colmax = None
-    h_ref[:] = h
-    e_ref[:] = e
+    _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref,
+              jt_steps=jt_steps, goe=goe, ge=ge, dtype=dtype,
+              ceiling=ceiling,
+              f_of_ht=lambda ht: _excl_cummax_rows(ht, neg) + c1)
 
     @pl.when(is_last)
     def _write():
@@ -422,43 +408,12 @@ def _dp_packed_kernel(outrow_ref, qpt_ref, ramp_ref, segoff_ref, segid_ref,
 
     @pl.when(is_first)
     def _init():
-        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
-        e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+        _dp_init(h_ref, e_ref, smax_ref, ramp, neg)
 
-    qpt = qpt_ref[:].astype(jnp.bfloat16)
-    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-
-    SMAX_MERGE = 8
-
-    def score_at(j):
-        d = db_ref[0, j, :].astype(jnp.int32)
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)
-        return jnp.dot(qpt, onehot, preferred_element_type=jnp.float32)
-
-    h = h_ref[:]
-    e = e_ref[:]
-    colmax = None
-    s_f32 = score_at(0)
-    for j in range(jt_steps):
-        s = s_f32.astype(dtype)
-        if j + 1 < jt_steps:
-            s_f32 = score_at(j + 1)
-
-        e = jnp.maximum(h - goe, e - ge)
-        hd = _shift_rows(h, 1, 0)
-        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
-
-        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
-
-        f = _excl_cummax_rows_seg(ht, segoff, neg) + c1v
-        h = jnp.maximum(ht, f)
-
-        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
-            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
-            colmax = None
-    h_ref[:] = h
-    e_ref[:] = e
+    _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref,
+              jt_steps=jt_steps, goe=goe, ge=ge, dtype=dtype, ceiling=None,
+              f_of_ht=lambda ht: _excl_cummax_rows_seg(ht, segoff, neg)
+              + c1v)
 
     @pl.when(is_last)
     def _write():

@@ -35,3 +35,34 @@ def test_codes_in_range():
 
 def test_pad_decodes_to_hash():
     assert decode(np.array([PAD_CODE], dtype=np.uint8)) == "#"
+
+
+def test_ambiguity_codes_end_to_end(tmp_path):
+    # SURVEY.md sec. 8 parity trap: B/Z/X/'*' and folded extras (U->C,
+    # O->K, J->L) must flow through pack -> kernel with the same scores
+    # the oracle computes from the same table
+    import numpy as np
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.fasta import FastaRecord
+    from swimm_tpu.matrices import get_matrix
+    from swimm_tpu.models.engine import SearchConfig, score_db
+    from swimm_tpu.ops import reference
+    from swimm_tpu.alphabet import encode
+
+    seqs = [
+        "ARNDBZXCEQ*GHILKMFPST",          # every ambiguity + stop
+        "UUOOJJ--..ARN",                   # folded extras and gaps
+        "BZX*BZX*BZX*BZX*",
+        "MKVLATRESWYHQDNG",                # plain
+    ]
+    recs = [FastaRecord(f"s{i}", encode(s)) for i, s in enumerate(seqs)]
+    packed = build_db(recs, tmp_path / "db", V=8)
+    q = FastaRecord("q", encode("ARNDBZX*UOJMKVLATRES"))
+    scores = score_db(packed, q, SearchConfig(backend="xla",
+                                              precision="f32"))
+    exp = reference.sw_score_many(
+        q.codes, [recs[i].codes for i in packed.orig_index],
+        get_matrix("BLOSUM62"), 10, 2)
+    assert np.array_equal(scores, exp)
+    assert scores.max() > 0
