@@ -380,11 +380,13 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     """Whole-DB search for a query batch.
 
     On the pallas backend queries are PACKED along the profile axis
-    (models/qpack.py): one kernel dispatch per ~2048-row pack regardless of
+    (models/qpack.py): one kernel dispatch per fixed-size pack regardless of
     batch composition, with fixed compiled shapes. Other configurations
     group queries by padded profile length (one dispatch per m_pad group).
 
-    Returns hit lists in input order."""
+    Returns (hit lists in input order, padded query rows computed —
+    the query-axis row count actually dispatched, for honest padded-cell
+    accounting)."""
     from swimm_tpu.ops import pallas_scorer
     backend = config.resolve_backend()
 
@@ -403,6 +405,7 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         groups.setdefault(m_pad, []).append(pos)
     out = [None] * len(queries)
     pending = []
+    padded_rows = 0
     for m_pad, positions in groups.items():
         tiles_ok = (backend == "pallas" and config.precision != "ladder"
                     and m_pad <= pallas_scorer.max_query_pad())
@@ -412,13 +415,14 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
+        padded_rows += m_pad * len(positions)
         pending.append((positions, step(qps, *dev)))
     for positions, (vs, sis) in pending:
         vs = np.asarray(vs)
         sis = np.asarray(sis)
         for row, p in enumerate(positions):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
-    return out
+    return out, padded_rows
 
 
 def _search_packed(packed: PackedDb, queries, config: SearchConfig):
@@ -437,12 +441,12 @@ def _search_packed(packed: PackedDb, queries, config: SearchConfig):
         for e in p.entries:
             out[e.query_pos] = _hits_from(packed, vs[e.seg // 2],
                                           sis[e.seg // 2], config.top_k)
-    return out
+    return out, sum(p.M for p in packs)
 
 
 def search_fused(packed: PackedDb, query: FastaRecord, config: SearchConfig):
     """One-dispatch whole-DB search for one query; returns hit list."""
-    return search_fused_batch(packed, [query], config)[0]
+    return search_fused_batch(packed, [query], config)[0][0]
 
 
 def top_k_hits(packed: PackedDb, scores: np.ndarray, k: int) -> list:
@@ -487,6 +491,7 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
             device_tiles(packed)
         else:
             device_chunks(packed)
+    padded_rows = None   # set by the fused path; others use the fallback
     if config.db_stream:
         # HBM-streaming path: per-query windowed scoring + host top-k
         for q in queries:
@@ -500,7 +505,8 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     # host-side escalation, so it stays per-chunk per-query
     elif config.precision != "ladder":
         with timer.phase("score"):
-            hit_lists = search_fused_batch(packed, queries, config)
+            hit_lists, padded_rows = search_fused_batch(packed, queries,
+                                                        config)
         results = [QueryResult(q.title, q.length, h)
                    for q, h in zip(queries, hit_lists)]
     else:
@@ -513,10 +519,11 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     seconds = time.perf_counter() - t0
 
     total_q = sum(q.length for q in queries)
-    m_pads = {q.title: -(-max(q.length, 1) // config.m_multiple) * config.m_multiple
-              for q in queries}
-    padded = sum(ch.n_blocks * ch.L * ch.V for ch in packed.chunks) * \
-        sum(m_pads.values())
+    lane_positions = sum(ch.n_blocks * ch.L * ch.V for ch in packed.chunks)
+    if padded_rows is None:
+        padded_rows = sum(-(-max(q.length, 1) // config.m_multiple)
+                          * config.m_multiple for q in queries)
+    padded = lane_positions * padded_rows
     metrics = SearchMetrics(
         cells=int(packed.total_residues) * total_q,
         padded_cells=padded,
