@@ -189,6 +189,9 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False,
             except Exception:
                 pass
         records = list(iter_fasta(records))
+    elif not isinstance(records, (list, tuple)):
+        records = list(records)   # materialize generators: the length
+        # pass below iterates twice and records is indexed by sort order
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     if resume and (out / "manifest.json").exists():
@@ -292,16 +295,20 @@ def _build_db_native(fasta_path, out_dir, V: int, resume: bool) -> PackedDb:
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if resume and (out / "manifest.json").exists():
-        try:
-            existing = load_db(out)
-            if existing.manifest["V"] == V:
-                return existing
-        except Exception:
-            pass
 
     codes_blob, offsets, lengths, titles_all = native.parse_fasta(fasta_path)
     n = len(lengths)
+    if resume and (out / "manifest.json").exists():
+        try:
+            existing = load_db(out)
+            # same validation as the Python path: a stale pack of a
+            # DIFFERENT input must never be silently reused
+            if (existing.manifest["V"] == V
+                    and existing.n_seqs == n
+                    and existing.total_residues == int(lengths.sum())):
+                return existing
+        except Exception:
+            pass
     order = np.argsort(lengths, kind="stable").astype(np.int64)
     sorted_lengths = lengths[order].astype(np.int32)
     n_blocks_total = (n + V - 1) // V

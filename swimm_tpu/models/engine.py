@@ -175,15 +175,20 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
     Returns (n_seqs,) int32 scores in sorted-db order.
     """
     backend = config.resolve_backend()
+    qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
+                                         config.m_multiple))
     if backend == "pallas":
-        from swimm_tpu.ops.pallas_scorer import score_tiles
+        from swimm_tpu.ops.pallas_scorer import max_query_pad, score_tiles
+        if qp.shape[1] > max_query_pad():
+            # long queries exceed the single-pass kernel's VMEM budget;
+            # stream CHUNKS through the tiled long-query kernel instead
+            # (same bounded-memory property: one chunk in flight)
+            return _score_db_streaming_long(packed, qp, config)
     else:
         from swimm_tpu.ops.xla_scorer import score_tiles
     prec = {} if backend != "pallas" else {
         "precision": "f32" if config.precision in ("adaptive", "ladder")
         else config.precision}
-    qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
-                                         config.m_multiple))
     _, _, n_rows = packed.flat_tiles()
     V = int(packed.manifest["V"])
     scores = np.zeros((n_rows, V), np.int32)
@@ -195,18 +200,40 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
         scores[g0:g0 + n_w] = np.asarray(res)[:n_w]
 
     for win, orow, g0, n_w, r_cap in _tile_windows(packed, window_tiles):
+        if len(pending) >= max_in_flight:
+            drain()                                 # bound live windows
         dev = jnp.asarray(win)                      # async H2D
         res = score_tiles(dev, jnp.asarray(orow), r_cap, qp,
                           config.gap_open, config.gap_extend, **prec)
         pending.append((g0, n_w, res))
-        if len(pending) > max_in_flight:
-            drain()
     while pending:
         drain()
     mask, lane2sorted = packed.lane_maps()
     flat = scores.reshape(-1)
     out = np.zeros(packed.n_seqs, dtype=np.int32)
     out[lane2sorted[mask]] = flat[mask]
+    return out
+
+
+def _score_db_streaming_long(packed: PackedDb, qp, config: SearchConfig):
+    """Streaming for long queries: one chunk in device memory at a time,
+    scored by the tiled long-query kernel."""
+    from swimm_tpu.ops import longquery
+    out = np.zeros(packed.n_seqs, dtype=np.int32)
+    prev = None
+    for ch in packed.chunks:
+        dev = jnp.asarray(np.ascontiguousarray(ch.codes))
+        res = longquery.score_chunk_long(dev, qp, config.gap_open,
+                                         config.gap_extend)
+        if prev is not None:                        # overlap: drain n-1
+            pch, pres = prev
+            out[pch.base:pch.base + pch.n_seqs] = \
+                np.asarray(pres).reshape(-1)[:pch.n_seqs]
+        prev = (ch, res)
+    if prev is not None:
+        pch, pres = prev
+        out[pch.base:pch.base + pch.n_seqs] = \
+            np.asarray(pres).reshape(-1)[:pch.n_seqs]
     return out
 
 
@@ -390,8 +417,16 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     from swimm_tpu.ops import pallas_scorer
     backend = config.resolve_backend()
 
-    if (backend == "pallas" and config.precision != "ladder"
-            and config.query_pack):
+    if config.precision == "ladder":
+        # the narrow-tier ladder escalates host-side and cannot run inside
+        # the jitted fused step; serve it through the serial driver
+        hits = []
+        for q in queries:
+            scores = score_db(packed, q, config)
+            hits.append(top_k_hits(packed, scores, config.top_k))
+        return hits, None
+
+    if backend == "pallas" and config.query_pack:
         from swimm_tpu.models import qpack
         if all(qpack._rows_needed(q.length) <= qpack.PACK_BUCKETS[-1]
                for q in queries):
@@ -406,8 +441,13 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     out = [None] * len(queries)
     pending = []
     padded_rows = 0
+    # if ANY group needs the per-chunk arrays (long queries), use them for
+    # every group: one DB copy in HBM instead of tiles + chunks both
+    any_chunks = (backend != "pallas"
+                  or any(mp > pallas_scorer.max_query_pad()
+                         for mp in groups))
     for m_pad, positions in groups.items():
-        tiles_ok = (backend == "pallas" and config.precision != "ladder"
+        tiles_ok = (backend == "pallas" and not any_chunks
                     and m_pad <= pallas_scorer.max_query_pad())
         mode = "tiles" if tiles_ok else "chunks"
         dev = device_tiles(packed)[:2] if tiles_ok else device_chunks(packed)

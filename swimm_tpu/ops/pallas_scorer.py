@@ -553,7 +553,9 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     if L % jt_steps:
         raise ValueError(f"L={L} not a multiple of jt_steps={jt_steps}")
     if lanes_per_block is not None:
-        vk = lanes_per_block if (V % lanes_per_block == 0) else V
+        ok = (V % lanes_per_block == 0 if lanes_per_block <= V
+              else lanes_per_block % V == 0 and B % (lanes_per_block // V) == 0)
+        vk = lanes_per_block if ok else V
     else:
         vk = LANE if (V % LANE == 0) else V
     G = V // vk

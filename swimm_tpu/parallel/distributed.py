@@ -89,7 +89,8 @@ def global_tile_shards(packed, mesh: Mesh):
             cache[d] = build(d)
         return cache[d][i]
 
-    def mk(shape, dtype, i, spec):
+    def mk(shape, i, spec):
+        # dtype is carried by the callback's arrays (plan_tile_shards)
         sharding = NamedSharding(mesh, spec)
 
         def cb(index):
@@ -98,11 +99,10 @@ def global_tile_shards(packed, mesh: Mesh):
 
         return jax.make_array_from_callback(shape, sharding, cb)
 
-    tiles_all = mk((n_data, T_max, jt, V), np.int8, 0,
-                   P("data", None, None, None))
-    outrow_all = mk((n_data, T_max), np.int32, 1, P("data", None))
-    valid_all = mk((n_data, R_loc * V), bool, 2, P("data", None))
-    l2s_all = mk((n_data, R_loc * V), np.int32, 3, P("data", None))
+    tiles_all = mk((n_data, T_max, jt, V), 0, P("data", None, None, None))
+    outrow_all = mk((n_data, T_max), 1, P("data", None))
+    valid_all = mk((n_data, R_loc * V), 2, P("data", None))
+    l2s_all = mk((n_data, R_loc * V), 3, P("data", None))
     return tiles_all, outrow_all, valid_all, l2s_all, R_loc
 
 

@@ -331,6 +331,8 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         all_v, all_i = _sharded_chunks_fallback(
             packed, qps_dev, mesh, config, backend, topk_per_shard,
             precision, timer, Q)
+        lane_positions = sum(ch.n_blocks * ch.L * ch.V
+                             for ch in packed.chunks)
     else:
         # whole-DB single dispatch: per-shard ragged kernel + collective
         # candidate gather (BASELINE config 4)
@@ -345,6 +347,8 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
                 k=topk_per_shard, precision=precision)
             all_v = np.asarray(vals)[:Q]
             all_i = np.asarray(idx)[:Q]
+        # the dispatched work includes each shard's PAD-tile padding
+        lane_positions = int(np.prod(tiles_all.shape))
 
     results = []
     with timer.phase("final_topk"):
@@ -362,7 +366,9 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
 
     seconds = time.perf_counter() - t0
     total_q = sum(q.length for q in queries)
-    padded = sum(ch.n_blocks * ch.L * ch.V for ch in packed.chunks) * m_pad * Q
+    # honest padded accounting: shard-padded lane positions x the padded
+    # query rows actually dispatched (incl. the query-axis pad to Qp)
+    padded = lane_positions * m_pad * qps.shape[0]
     metrics = SearchMetrics(
         cells=int(packed.total_residues) * total_q,
         padded_cells=padded,
