@@ -319,8 +319,8 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     mask_dev = jnp.asarray(mask)
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
-    if mode == "tiles":
-        from swimm_tpu.ops import pallas_scorer
+    if mode in ("tiles", "tiles_long"):
+        from swimm_tpu.ops import longquery, pallas_scorer
         _, _, n_rows = packed.flat_tiles()
         prec = "f32" if config.precision == "adaptive" else config.precision
 
@@ -335,6 +335,12 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
             if mode == "tiles":
                 tiles, outrow = db_arrays
                 flat = pallas_scorer.score_tiles(
+                    tiles, outrow, n_rows, qp,
+                    config.gap_open, config.gap_extend,
+                    precision=prec).reshape(-1)
+            elif mode == "tiles_long":
+                tiles, outrow = db_arrays
+                flat = longquery.score_tiles_long(
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend,
                     precision=prec).reshape(-1)
@@ -441,16 +447,15 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     out = [None] * len(queries)
     pending = []
     padded_rows = 0
-    # if ANY group needs the per-chunk arrays (long queries), use them for
-    # every group: one DB copy in HBM instead of tiles + chunks both
-    any_chunks = (backend != "pallas"
-                  or any(mp > pallas_scorer.max_query_pad()
-                         for mp in groups))
     for m_pad, positions in groups.items():
-        tiles_ok = (backend == "pallas" and not any_chunks
-                    and m_pad <= pallas_scorer.max_query_pad())
-        mode = "tiles" if tiles_ok else "chunks"
-        dev = device_tiles(packed)[:2] if tiles_ok else device_chunks(packed)
+        if backend != "pallas":
+            mode = "chunks"
+        elif m_pad <= pallas_scorer.max_query_pad():
+            mode = "tiles"
+        else:
+            mode = "tiles_long"   # ragged long-query kernel, same DB tiles
+        dev = (device_chunks(packed) if mode == "chunks"
+               else device_tiles(packed)[:2])
         step = _fused_search_step(packed, config, config.top_k, mode)
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
@@ -526,9 +531,8 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
         if config.db_stream:
             pass                      # windows upload during scoring
         elif (config.resolve_backend() == "pallas"
-                and config.precision != "ladder"
-                and max_m <= pallas_scorer.max_query_pad()):
-            device_tiles(packed)
+                and config.precision != "ladder"):
+            device_tiles(packed)      # serves short AND long queries
         else:
             device_chunks(packed)
     padded_rows = None   # set by the fused path; others use the fallback

@@ -159,6 +159,179 @@ def _score_tile(codes_n, qpt_tile, delta, hbot, gcar, gap_open, gap_extend,
     return out[:, 0, :], hbot2, gcar2
 
 
+def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
+                           hbot_in_ref, gcar_in_ref, out_ref, hbot_out_ref,
+                           gcar_out_ref, h_ref, e_ref, smax_ref, hprev_ref,
+                           *, jt_steps: int, n_tiles: int, goe: int, ge: int,
+                           dtype):
+    """Ragged-grid version of _dp_tile_kernel: one (block, 32-db-step) work
+    item over the whole-DB tile stream, for ONE query tile. Block
+    boundaries come from the scalar-prefetched outrow map exactly as in
+    pallas_scorer._dp_ragged_kernel; the cross-query-tile H/F carries ride
+    HBM streams aligned with the db tiles."""
+    t = pl.program_id(0)
+    m, vk = h_ref.shape
+    neg = _negval(dtype)
+    c1 = ge - goe
+    delta = delta_ref[0].astype(dtype)
+
+    row = outrow_ref[t]
+    is_first = jnp.logical_or(
+        t == 0, row != outrow_ref[jnp.maximum(t - 1, 0)])
+    is_last = jnp.logical_or(
+        t == n_tiles - 1, row != outrow_ref[jnp.minimum(t + 1, n_tiles - 1)])
+
+    ramp = ramp_ref[:].astype(dtype)
+
+    @pl.when(is_first)
+    def _init():
+        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+        e_ref[:] = jnp.full_like(e_ref, neg)
+        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+        hprev_ref[:] = jnp.zeros_like(hprev_ref)
+
+    qpt = qpt_ref[:].astype(jnp.bfloat16)
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
+
+    h = h_ref[:]
+    e = e_ref[:]
+    smax = smax_ref[:]
+    hprev = hprev_ref[0:1, :].astype(dtype)              # (1, Vk)
+    hbot_rows = []
+    gcar_rows = []
+    for j in range(jt_steps):
+        d = db_ref[0, j, :].astype(jnp.int32)
+        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)
+        s = jnp.dot(qpt, onehot,
+                    preferred_element_type=jnp.float32).astype(dtype)
+
+        e = jnp.maximum(h - goe, e - ge)
+        hd = jnp.concatenate([hprev, h[:-1, :]], axis=0)
+        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
+
+        gadj = gcar_in_ref[0, j, :].astype(dtype)[None, :] - delta
+        f = jnp.maximum(_excl_cummax_rows(ht, neg), gadj) + c1
+        h = jnp.maximum(ht, f)
+        smax = jnp.maximum(smax, h)
+
+        hbot_rows.append(h[m - 1:m, :] - ramp[m - 1, 0])
+        gcar_rows.append(jnp.maximum(jnp.max(ht, axis=0, keepdims=True),
+                                     gadj) + delta)
+        hprev = hbot_in_ref[0, j, :].astype(dtype)[None, :]
+
+    h_ref[:] = h
+    e_ref[:] = e
+    smax_ref[:] = smax
+    hprev_ref[:] = jnp.broadcast_to(hprev, hprev_ref.shape)
+    hbot_out_ref[0] = jnp.concatenate(hbot_rows, axis=0).astype(jnp.float32)
+    gcar_out_ref[0] = jnp.concatenate(gcar_rows, axis=0).astype(jnp.float32)
+
+    @pl.when(is_last)
+    def _write():
+        score = jnp.max(smax_ref[:] - ramp, axis=0)
+        mx = score.astype(jnp.int32)
+        out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "gap_open",
+                                             "gap_extend", "precision",
+                                             "jt_steps", "interpret"))
+def _score_tiles_one_qtile(tiles, outrow, n_rows, qpt_tile, delta, hbot,
+                           gcar, gap_open, gap_extend, precision="f32",
+                           jt_steps=32, interpret=False):
+    T, jt, V = tiles.shape
+    m = qpt_tile.shape[0]
+    dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
+    ramp = ((jnp.arange(m, dtype=jnp.int32) + 1) * gap_extend).reshape(m, 1)
+
+    kernel = functools.partial(
+        _dp_ragged_tile_kernel, jt_steps=jt_steps, n_tiles=T,
+        goe=gap_open + gap_extend, ge=gap_extend, dtype=dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # delta
+            pl.BlockSpec((m, TABLE_CODES), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda t, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, V), lambda t, o: (o[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt_steps, V), lambda t, o: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, V), dtype),
+            pltpu.VMEM((m, V), dtype),
+            pltpu.VMEM((m, V), dtype),
+            pltpu.VMEM((8, V), jnp.float32),
+        ],
+    )
+
+    out, hbot2, gcar2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, 8, V), jnp.int32),
+            jax.ShapeDtypeStruct((T, jt_steps, V), jnp.float32),
+            jax.ShapeDtypeStruct((T, jt_steps, V), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(outrow, jnp.int32), delta, qpt_tile, ramp, tiles,
+      hbot, gcar)
+    return out[:, 0, :], hbot2, gcar2
+
+
+def score_tiles_long(tiles, outrow, n_rows: int, qp, gap_open: int,
+                     gap_extend: int, precision: str = "f32",
+                     tile_m: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Score a whole-DB ragged tile stream against a query of ANY length:
+    the query is tiled at tile_m rows, each tile is one ragged-grid kernel
+    dispatch over the full stream, and the H/F boundary state between
+    query tiles rides two HBM streams aligned with the db tiles. ONE
+    compiled kernel shape serves every query length (vs one per chunk
+    shape per tile count for the per-chunk path).
+
+    Returns (n_rows, V) int32 exact scores.
+    """
+    T, jt, V = tiles.shape
+    m = qp.shape[1]
+    tile_m = tile_m or 1024
+    n_qt = -(-m // tile_m)
+    m_pad = n_qt * tile_m
+    if m_pad != m:
+        qp = jnp.concatenate(
+            [jnp.asarray(qp),
+             jnp.full((qp.shape[0], m_pad - m), PAD_SCORE, jnp.int32)],
+            axis=1)
+    qpt_full = (jnp.asarray(qp).T + gap_extend).astype(jnp.int32)
+    hbot = jnp.zeros((T, jt, V), jnp.float32)
+    gcar = jnp.full((T, jt, V), _negval(jnp.float32), jnp.float32)
+    best = None
+    for qt in range(n_qt):
+        qpt_tile = qpt_full[qt * tile_m:(qt + 1) * tile_m]
+        delta = jnp.array([qt * tile_m * gap_extend], jnp.int32)
+        out, hbot, gcar = _score_tiles_one_qtile(
+            tiles, outrow, n_rows, qpt_tile, delta, hbot, gcar,
+            gap_open, gap_extend, precision=precision, jt_steps=jt,
+            interpret=interpret)
+        best = out if best is None else jnp.maximum(best, out)
+    return best
+
+
 def score_chunk_long(codes, qp, gap_open: int, gap_extend: int,
                      precision: str = "f32",
                      tile_m: int | None = None) -> jnp.ndarray:

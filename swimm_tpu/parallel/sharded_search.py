@@ -140,10 +140,15 @@ def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
 
         def one(qp):
             if backend == "pallas":
-                from swimm_tpu.ops import pallas_scorer
-                s = pallas_scorer.score_tiles(
-                    tiles_l, outrow_l, n_rows_local, qp,
-                    gap_open, gap_extend, precision=precision)
+                from swimm_tpu.ops import longquery, pallas_scorer
+                if qp.shape[1] > pallas_scorer.max_query_pad():
+                    s = longquery.score_tiles_long(
+                        tiles_l, outrow_l, n_rows_local, qp,
+                        gap_open, gap_extend, precision=precision)
+                else:
+                    s = pallas_scorer.score_tiles(
+                        tiles_l, outrow_l, n_rows_local, qp,
+                        gap_open, gap_extend, precision=precision)
             else:
                 from swimm_tpu.ops import xla_scorer
                 s = xla_scorer.score_tiles(
@@ -324,31 +329,22 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     Q = len(queries)
     precision = ("f32" if config.precision in ("adaptive", "ladder")
                  else config.precision)
-    from swimm_tpu.ops.pallas_scorer import max_query_pad
-    if backend == "pallas" and m_pad > max_query_pad():
-        # long queries exceed the single-pass kernel's VMEM budget; the
-        # per-chunk loop below handles them via the tiled long-query path
-        all_v, all_i = _sharded_chunks_fallback(
-            packed, qps_dev, mesh, config, backend, topk_per_shard,
-            precision, timer, Q)
-        lane_positions = sum(ch.n_blocks * ch.L * ch.V
-                             for ch in packed.chunks)
-    else:
-        # whole-DB single dispatch: per-shard ragged kernel + collective
-        # candidate gather (BASELINE config 4)
-        with timer.phase("h2d"):
-            tiles_all, outrow_all, valid_all, l2s_all, R_loc = \
-                build_tile_shards(packed, mesh)
-        with timer.phase("score+merge"):
-            vals, idx = sharded_tiles_topk(
-                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
-                mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
-                gap_extend=config.gap_extend, backend=backend,
-                k=topk_per_shard, precision=precision)
-            all_v = np.asarray(vals)[:Q]
-            all_i = np.asarray(idx)[:Q]
-        # the dispatched work includes each shard's PAD-tile padding
-        lane_positions = int(np.prod(tiles_all.shape))
+    # whole-DB single dispatch: per-shard ragged kernel + collective
+    # candidate gather (BASELINE config 4); long queries route through
+    # the ragged long-query kernel inside the same shard_map
+    with timer.phase("h2d"):
+        tiles_all, outrow_all, valid_all, l2s_all, R_loc = \
+            build_tile_shards(packed, mesh)
+    with timer.phase("score+merge"):
+        vals, idx = sharded_tiles_topk(
+            tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+            mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
+            gap_extend=config.gap_extend, backend=backend,
+            k=topk_per_shard, precision=precision)
+        all_v = np.asarray(vals)[:Q]
+        all_i = np.asarray(idx)[:Q]
+    # the dispatched work includes each shard's PAD-tile padding
+    lane_positions = int(np.prod(tiles_all.shape))
 
     results = []
     with timer.phase("final_topk"):

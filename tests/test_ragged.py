@@ -80,3 +80,26 @@ def test_flat_tiles_roundtrip(tmp_path):
     assert bml.shape == (n_rows,)
     assert (np.diff(bml) >= 0).all()
     assert bml.max() == int(packed.lengths.max())
+
+
+def test_score_tiles_long_matches_oracle():
+    # ragged long-query path: whole-DB tile stream + query tiling with
+    # HBM-carried boundary state between query tiles
+    from swimm_tpu.ops import longquery
+    from swimm_tpu.utils.synth import mutate
+
+    rng = np.random.default_rng(13)
+    q = random_codes(rng, 150)          # tile_m=32 -> 5 query tiles
+    qp = jnp.asarray(build_query_profile(q, "BLOSUM62", m_multiple=8))
+    blocks, tiles, outrow = _ragged_case(rng, [64, 128, 32])
+    hom = mutate(rng, q, sub_rate=0.05, indel_rate=0.01)[:128]
+    blocks[1][:len(hom), 2] = hom
+    tiles = np.concatenate([b.reshape(-1, 32, 8) for b in blocks])
+    got = np.asarray(longquery.score_tiles_long(
+        jnp.asarray(tiles), outrow, len(blocks), qp, 10, 2, tile_m=32,
+        interpret=True))
+    db_seqs = [b[:, v] for b in blocks for v in range(b.shape[1])]
+    exp = reference.sw_score_many(q, db_seqs, get_matrix("BLOSUM62"),
+                                  10, 2).reshape(len(blocks), -1)
+    assert np.array_equal(got, exp)
+    assert got[1, 2] > 100              # planted homolog
