@@ -19,3 +19,24 @@ __version__ = "0.1.0"
 
 from swimm_tpu.alphabet import encode, decode, ALPHABET, PAD_CODE
 from swimm_tpu.matrices import get_matrix, available_matrices
+
+
+def __getattr__(name):
+    # Lazy re-exports of the main user-facing API (keeps `import swimm_tpu`
+    # light: jax only loads when the engine is touched).
+    engine_api = {"SearchConfig", "search", "search_fused", "Hit",
+                  "QueryResult", "score_db", "score_db_streaming",
+                  "top_k_hits"}
+    if name in engine_api:
+        from swimm_tpu.models import engine
+        return getattr(engine, name)
+    if name in {"build_db", "load_db", "PackedDb"}:
+        from swimm_tpu import db
+        return getattr(db, name)
+    if name in {"read_fasta", "write_fasta", "iter_fasta", "FastaRecord"}:
+        from swimm_tpu import fasta
+        return getattr(fasta, name)
+    if name == "sharded_search":
+        from swimm_tpu.parallel.sharded_search import sharded_search
+        return sharded_search
+    raise AttributeError(f"module 'swimm_tpu' has no attribute {name!r}")

@@ -33,8 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from swimm_tpu.alphabet import PAD_CODE, PAD_SCORE, TABLE_CODES
-from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _negval,
-                                         _shift_rows, max_query_pad, pick_jt)
+from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _mm_dtype,
+                                         _negval, _shift_rows, max_query_pad,
+                                         pick_jt)
 
 
 def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
@@ -60,7 +61,8 @@ def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
         smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
         hprev_ref[:] = jnp.zeros_like(hprev_ref)         # H_real(bot, j=-1)=0
 
-    qpt = qpt_ref[:].astype(jnp.bfloat16)
+    mmdt = _mm_dtype()
+    qpt = qpt_ref[:].astype(mmdt)
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
 
     h = h_ref[:]
@@ -71,7 +73,7 @@ def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
     gcar_rows = []
     for j in range(jt_steps):
         d = db_ref[0, j, :].astype(jnp.int32)
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)
+        onehot = (code_iota == d[None, :]).astype(mmdt)
         s = jnp.dot(qpt, onehot,
                     preferred_element_type=jnp.float32).astype(dtype)
 
@@ -190,7 +192,8 @@ def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
         smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
         hprev_ref[:] = jnp.zeros_like(hprev_ref)
 
-    qpt = qpt_ref[:].astype(jnp.bfloat16)
+    mmdt = _mm_dtype()
+    qpt = qpt_ref[:].astype(mmdt)
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
 
     h = h_ref[:]
@@ -201,7 +204,7 @@ def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
     gcar_rows = []
     for j in range(jt_steps):
         d = db_ref[0, j, :].astype(jnp.int32)
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)
+        onehot = (code_iota == d[None, :]).astype(mmdt)
         s = jnp.dot(qpt, onehot,
                     preferred_element_type=jnp.float32).astype(dtype)
 

@@ -68,6 +68,13 @@ def _negval(dtype):
     return -(1 << 28) if dtype == jnp.int32 else -3e8
 
 
+def _mm_dtype():
+    """bf16 feeds the MXU in compiled kernels; interpret mode executes the
+    dot on CPU, where XLA's bf16 DotThunk is unimplemented for some shapes
+    — use f32 there (equally exact for profile-sized integers)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def pick_jt(m: int) -> int:
     """db-steps per grid tile. 32 = one native int8 (32, 128) tile; the j
     loop is unrolled so larger values mostly cost compile time."""
@@ -150,13 +157,14 @@ def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
     gap-open charge (a per-row vector on the packed path).
     """
     m, vk = h_ref.shape
-    qpt = qpt_ref[:].astype(jnp.bfloat16)                # (m, 32), has +ge
+    mmdt = _mm_dtype()
+    qpt = qpt_ref[:].astype(mmdt)                        # (m, 32), has +ge
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
     SMAX_MERGE = 8
 
     def score_at(j):
         d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
-        onehot = (code_iota == d[None, :]).astype(jnp.bfloat16)   # (32, Vk)
+        onehot = (code_iota == d[None, :]).astype(mmdt)  # (32, Vk)
         return jnp.dot(qpt, onehot,
                        preferred_element_type=jnp.float32)        # (m, Vk)
 

@@ -50,10 +50,16 @@ NEG = -(1 << 28)  # plain int: a module-level device array would pin the
 # reuse across mesh sizes)
 
 
-def _score_tile(d_codes: jnp.ndarray, qp_bf16: jnp.ndarray) -> jnp.ndarray:
+def _mm_dtype():
+    """bf16 feeds the MXU on TPU; XLA:CPU's bf16 dot is unimplemented for
+    some shapes, so the CPU fallback uses f32 (equally exact here)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _score_tile(d_codes: jnp.ndarray, qp_mm: jnp.ndarray) -> jnp.ndarray:
     """(N,) uint8-ish codes + (32, m) profile -> (N, m) int32 scores via MXU."""
     onehot = (d_codes[:, None] == jnp.arange(TABLE_CODES, dtype=jnp.int32)[None, :])
-    s = jnp.dot(onehot.astype(jnp.bfloat16), qp_bf16,
+    s = jnp.dot(onehot.astype(qp_mm.dtype), qp_mm,
                 preferred_element_type=jnp.float32)
     return s.astype(jnp.int32)
 
@@ -82,7 +88,7 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     N = B * V
     goe = jnp.int32(gap_open + gap_extend)
     ge = jnp.int32(gap_extend)
-    qp_bf16 = qp.astype(jnp.bfloat16)
+    qp_mm = qp.astype(_mm_dtype())
 
     # ramp(i) = (i+1)*ge, used by the cummax substitution.
     ramp = (jnp.arange(m, dtype=jnp.int32) + 1) * ge          # (m,)
@@ -92,7 +98,7 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
 
     def step(carry, d_j):
         H, E, Smax = carry
-        s = _score_tile(d_j, qp_bf16)                          # (N, m)
+        s = _score_tile(d_j, qp_mm)                          # (N, m)
         Hdiag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))           # H(i-1, j-1); i=0 -> 0
         E = jnp.maximum(H - goe, E - ge)                       # E(i, j)
         Ht = jnp.maximum(jnp.maximum(Hdiag + s, E), 0)
@@ -129,7 +135,7 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
     m = qp.shape[1]
     goe = jnp.int32(gap_open + gap_extend)
     ge = jnp.int32(gap_extend)
-    qp_bf16 = qp.astype(jnp.bfloat16)
+    qp_mm = qp.astype(_mm_dtype())
     ramp = (jnp.arange(m, dtype=jnp.int32) + 1) * ge
 
     outrow = jnp.asarray(outrow, jnp.int32)
@@ -138,7 +144,7 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
 
     def step(carry, d_j):
         H, E, Smax = carry                                  # (V, m)
-        s = _score_tile(d_j, qp_bf16)
+        s = _score_tile(d_j, qp_mm)
         Hdiag = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
         E = jnp.maximum(H - goe, E - ge)
         Ht = jnp.maximum(jnp.maximum(Hdiag + s, E), 0)
