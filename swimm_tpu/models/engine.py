@@ -87,20 +87,14 @@ def _chunk_scorer(config: SearchConfig):
         return lambda codes, qp: xla_scorer.score_chunk(
             codes, qp, config.gap_open, config.gap_extend)
     elif backend == "pallas":
-        from swimm_tpu.ops import ladder, longquery, pallas_scorer
+        from swimm_tpu.ops import longquery, pallas_scorer
 
         def dispatch(codes, qp):
             if qp.shape[1] > pallas_scorer.max_query_pad():
                 # long-query tiled path (M5); always exact
                 return longquery.score_chunk_long(
                     codes, qp, config.gap_open, config.gap_extend)
-            if config.precision == "ladder":
-                bound = ladder.max_possible_score(
-                    qp.shape[1], codes.shape[1], config.matrix)
-                return ladder.score_chunk_adaptive(
-                    codes, qp, config.gap_open, config.gap_extend,
-                    upper_bound=bound)[0]
-            prec = ("f32" if config.precision == "adaptive"
+            prec = ("f32" if config.precision in ("adaptive", "ladder")
                     else config.precision)
             return pallas_scorer.score_chunk(
                 codes, qp, config.gap_open, config.gap_extend,
@@ -460,7 +454,12 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
-        padded_rows += m_pad * len(positions)
+        if mode == "tiles_long":
+            from swimm_tpu.ops.longquery import LONG_TILE_M
+            m_disp = -(-m_pad // LONG_TILE_M) * LONG_TILE_M
+        else:
+            m_disp = m_pad
+        padded_rows += m_disp * len(positions)
         pending.append((positions, step(qps, *dev)))
     for positions, (vs, sis) in pending:
         vs = np.asarray(vs)
@@ -530,9 +529,12 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                     default=0)
         if config.db_stream:
             pass                      # windows upload during scoring
-        elif (config.resolve_backend() == "pallas"
-                and config.precision != "ladder"):
-            device_tiles(packed)      # serves short AND long queries
+        elif config.resolve_backend() == "pallas" and (
+                config.precision != "ladder"
+                or max_m <= pallas_scorer.max_query_pad()):
+            # tiles serve every non-ladder query length, and ladder up to
+            # the single-pass limit (score_db's whole-DB ladder)
+            device_tiles(packed)
         else:
             device_chunks(packed)
     padded_rows = None   # set by the fused path; others use the fallback

@@ -90,6 +90,8 @@ def score_db_adaptive(packed, qp, query_len: int, gap_open: int,
     tiles, outrow, n_rows = packed.flat_tiles()
     V = int(packed.manifest["V"])
     jt = tiles.shape[1]
+    if tiers[-1] is not None:
+        tiers = tuple(tiers) + (None,)   # guarantee the exact final tier
     mat = get_matrix(matrix) if isinstance(matrix, str) else matrix
     maxdiag = int(np.diag(np.asarray(mat)).max())
     bounds = np.minimum(query_len, packed.block_max_lengths()) * maxdiag
@@ -166,6 +168,8 @@ def score_chunk_adaptive(codes, qp, gap_open: int, gap_extend: int,
     """
     import jax.numpy as jnp
 
+    if tiers[-1] is not None:
+        tiers = tuple(tiers) + (None,)   # guarantee the exact final tier
     # length-bucketed tier truncation: the first tier whose ceiling covers
     # the provable score bound is exact for every lane, so deeper tiers
     # (and, if it's the FIRST tier, the whole recheck scan) are dropped

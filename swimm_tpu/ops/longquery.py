@@ -33,37 +33,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from swimm_tpu.alphabet import PAD_CODE, PAD_SCORE, TABLE_CODES
+LONG_TILE_M = 1024  # query rows per tile: fits VMEM with the carry
+# streams and boundary scratch (2048 OOMs, measured)
+
 from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _mm_dtype,
                                          _negval, _shift_rows, max_query_pad,
                                          pick_jt)
 
 
-def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
-                    gcar_in_ref, out_ref, hbot_out_ref, gcar_out_ref,
-                    h_ref, e_ref, smax_ref, hprev_ref, *,
-                    jt_steps: int, n_jt: int, goe: int, ge: int, dtype):
-    """Advance one 128-lane block by jt_steps db residues for ONE query tile.
 
-    Same core recurrence as pallas_scorer._dp_kernel plus boundary carries.
-    """
-    jt = pl.program_id(1)
+def _dp_long_init(h_ref, e_ref, smax_ref, hprev_ref, ramp, neg):
+    m, vk = h_ref.shape
+    h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+    e_ref[:] = jnp.full_like(e_ref, neg)
+    smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
+    hprev_ref[:] = jnp.zeros_like(hprev_ref)     # H_real(bot, j=-1) = 0
+
+
+def _dp_long_steps(db_ref, qpt_ref, ramp, delta, hbot_in_ref, gcar_in_ref,
+                   hbot_out_ref, gcar_out_ref, h_ref, e_ref, smax_ref,
+                   hprev_ref, *, jt_steps: int, goe: int, ge: int, dtype):
+    """Shared hot loop of the two long-query kernels (rectangular and
+    ragged grids differ only in their init/write predicates): advance one
+    query tile by jt_steps db residues, consuming/emitting the cross-tile
+    H/F boundary carries. The score matmul for step j+1 is issued before
+    step j's VPU chain, as in pallas_scorer._dp_steps."""
     m, vk = h_ref.shape
     neg = _negval(dtype)
     c1 = ge - goe
-    delta = delta_ref[0].astype(dtype)                   # tile ramp offset
-
-    ramp = ramp_ref[:].astype(dtype)                     # (m, 1) local ramp
-
-    @pl.when(jt == 0)
-    def _init():
-        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
-        e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
-        hprev_ref[:] = jnp.zeros_like(hprev_ref)         # H_real(bot, j=-1)=0
-
     mmdt = _mm_dtype()
     qpt = qpt_ref[:].astype(mmdt)
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
+
+    def score_at(j):
+        d = db_ref[0, j, :].astype(jnp.int32)
+        onehot = (code_iota == d[None, :]).astype(mmdt)
+        return jnp.dot(qpt, onehot, preferred_element_type=jnp.float32)
 
     h = h_ref[:]
     e = e_ref[:]
@@ -71,11 +76,11 @@ def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
     hprev = hprev_ref[0:1, :].astype(dtype)              # (1, Vk)
     hbot_rows = []
     gcar_rows = []
+    s_f32 = score_at(0)
     for j in range(jt_steps):
-        d = db_ref[0, j, :].astype(jnp.int32)
-        onehot = (code_iota == d[None, :]).astype(mmdt)
-        s = jnp.dot(qpt, onehot,
-                    preferred_element_type=jnp.float32).astype(dtype)
+        s = s_f32.astype(dtype)
+        if j + 1 < jt_steps:
+            s_f32 = score_at(j + 1)
 
         e = jnp.maximum(h - goe, e - ge)
         # diagonal boundary: row 0's H(i-1, j-1) is the previous tile's
@@ -83,7 +88,7 @@ def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
         hd = jnp.concatenate([hprev, h[:-1, :]], axis=0)
         ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
 
-        gadj = gcar_in_ref[0, j, :].astype(dtype)[None, :] - delta   # (1, Vk)
+        gadj = gcar_in_ref[0, j, :].astype(dtype)[None, :] - delta  # (1, Vk)
         f = jnp.maximum(_excl_cummax_rows(ht, neg), gadj) + c1
         h = jnp.maximum(ht, f)
         smax = jnp.maximum(smax, h)
@@ -97,9 +102,33 @@ def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
     h_ref[:] = h
     e_ref[:] = e
     smax_ref[:] = smax
-    hprev_ref[:] = jnp.broadcast_to(hprev, hprev_ref.shape)
+    # scratch is f32 (exact to 2^24 for any real score) regardless of dtype
+    hprev_ref[:] = jnp.broadcast_to(hprev, hprev_ref.shape
+                                    ).astype(jnp.float32)
     hbot_out_ref[0] = jnp.concatenate(hbot_rows, axis=0).astype(jnp.float32)
     gcar_out_ref[0] = jnp.concatenate(gcar_rows, axis=0).astype(jnp.float32)
+
+
+def _dp_tile_kernel(delta_ref, qpt_ref, ramp_ref, db_ref, hbot_in_ref,
+                    gcar_in_ref, out_ref, hbot_out_ref, gcar_out_ref,
+                    h_ref, e_ref, smax_ref, hprev_ref, *,
+                    jt_steps: int, n_jt: int, goe: int, ge: int, dtype):
+    """Advance one 128-lane block by jt_steps db residues for ONE query tile.
+
+    Same core recurrence as pallas_scorer._dp_kernel plus boundary carries.
+    """
+    jt = pl.program_id(1)
+    neg = _negval(dtype)
+    delta = delta_ref[0].astype(dtype)                   # tile ramp offset
+    ramp = ramp_ref[:].astype(dtype)                     # (m, 1) local ramp
+
+    @pl.when(jt == 0)
+    def _init():
+        _dp_long_init(h_ref, e_ref, smax_ref, hprev_ref, ramp, neg)
+
+    _dp_long_steps(db_ref, qpt_ref, ramp, delta, hbot_in_ref, gcar_in_ref,
+                   hbot_out_ref, gcar_out_ref, h_ref, e_ref, smax_ref,
+                   hprev_ref, jt_steps=jt_steps, goe=goe, ge=ge, dtype=dtype)
 
     @pl.when(jt == n_jt - 1)
     def _write():
@@ -172,9 +201,7 @@ def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
     pallas_scorer._dp_ragged_kernel; the cross-query-tile H/F carries ride
     HBM streams aligned with the db tiles."""
     t = pl.program_id(0)
-    m, vk = h_ref.shape
     neg = _negval(dtype)
-    c1 = ge - goe
     delta = delta_ref[0].astype(dtype)
 
     row = outrow_ref[t]
@@ -187,47 +214,11 @@ def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
 
     @pl.when(is_first)
     def _init():
-        h_ref[:] = jnp.broadcast_to(ramp, (m, vk))
-        e_ref[:] = jnp.full_like(e_ref, neg)
-        smax_ref[:] = jnp.broadcast_to(ramp, (m, vk))
-        hprev_ref[:] = jnp.zeros_like(hprev_ref)
+        _dp_long_init(h_ref, e_ref, smax_ref, hprev_ref, ramp, neg)
 
-    mmdt = _mm_dtype()
-    qpt = qpt_ref[:].astype(mmdt)
-    code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-
-    h = h_ref[:]
-    e = e_ref[:]
-    smax = smax_ref[:]
-    hprev = hprev_ref[0:1, :].astype(dtype)              # (1, Vk)
-    hbot_rows = []
-    gcar_rows = []
-    for j in range(jt_steps):
-        d = db_ref[0, j, :].astype(jnp.int32)
-        onehot = (code_iota == d[None, :]).astype(mmdt)
-        s = jnp.dot(qpt, onehot,
-                    preferred_element_type=jnp.float32).astype(dtype)
-
-        e = jnp.maximum(h - goe, e - ge)
-        hd = jnp.concatenate([hprev, h[:-1, :]], axis=0)
-        ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
-
-        gadj = gcar_in_ref[0, j, :].astype(dtype)[None, :] - delta
-        f = jnp.maximum(_excl_cummax_rows(ht, neg), gadj) + c1
-        h = jnp.maximum(ht, f)
-        smax = jnp.maximum(smax, h)
-
-        hbot_rows.append(h[m - 1:m, :] - ramp[m - 1, 0])
-        gcar_rows.append(jnp.maximum(jnp.max(ht, axis=0, keepdims=True),
-                                     gadj) + delta)
-        hprev = hbot_in_ref[0, j, :].astype(dtype)[None, :]
-
-    h_ref[:] = h
-    e_ref[:] = e
-    smax_ref[:] = smax
-    hprev_ref[:] = jnp.broadcast_to(hprev, hprev_ref.shape)
-    hbot_out_ref[0] = jnp.concatenate(hbot_rows, axis=0).astype(jnp.float32)
-    gcar_out_ref[0] = jnp.concatenate(gcar_rows, axis=0).astype(jnp.float32)
+    _dp_long_steps(db_ref, qpt_ref, ramp, delta, hbot_in_ref, gcar_in_ref,
+                   hbot_out_ref, gcar_out_ref, h_ref, e_ref, smax_ref,
+                   hprev_ref, jt_steps=jt_steps, goe=goe, ge=ge, dtype=dtype)
 
     @pl.when(is_last)
     def _write():
@@ -312,7 +303,7 @@ def score_tiles_long(tiles, outrow, n_rows: int, qp, gap_open: int,
     """
     T, jt, V = tiles.shape
     m = qp.shape[1]
-    tile_m = tile_m or 1024
+    tile_m = tile_m or LONG_TILE_M
     n_qt = -(-m // tile_m)
     m_pad = n_qt * tile_m
     if m_pad != m:
@@ -345,9 +336,7 @@ def score_chunk_long(codes, qp, gap_open: int, gap_extend: int,
     """
     B, L, V = codes.shape
     m = qp.shape[1]
-    # smaller than max_query_pad(): the carry streams + boundary scratch eat
-    # VMEM the single-pass kernel doesn't need (measured: 2048 OOMs, 1024 fits)
-    tile_m = tile_m or 1024
+    tile_m = tile_m or LONG_TILE_M
     n_tiles = -(-m // tile_m)
     m_pad = n_tiles * tile_m
     if m_pad != m:

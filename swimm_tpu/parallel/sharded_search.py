@@ -9,10 +9,11 @@ merge is ``per-shard lax.top_k -> all_gather -> final top_k`` so only
 k candidates per shard ever cross the interconnect (BASELINE config 4:
 "per-shard top-256 hits merged via collectives").
 
-One jitted step = score one packed chunk for a batch of queries + merge.
-The same code path runs on a 1-device mesh (single chip), an N-chip slice
-(ICI), or a multi-host pod (DCN via jax.distributed) — the mesh is the only
-thing that changes.
+One jitted step = the WHOLE database (sharded ragged tile streams) for a
+batch of queries + merge; long queries route through the ragged long-query
+kernel inside the same shard_map. The same code path runs on a 1-device
+mesh (single chip), an N-chip slice (ICI), or a multi-host pod (DCN via
+jax.distributed) — the mesh is the only thing that changes.
 """
 
 from __future__ import annotations
@@ -30,81 +31,6 @@ from swimm_tpu.models.profile import build_query_profile
 from swimm_tpu.utils.metrics import PhaseTimer, SearchMetrics
 
 TOPK_PER_SHARD = 256  # BASELINE config 4
-
-
-def _backend_score_chunk(backend: str):
-    if backend == "pallas":
-        from swimm_tpu.ops import pallas_scorer
-        return pallas_scorer.score_chunk
-    from swimm_tpu.ops import xla_scorer
-    return xla_scorer.score_chunk
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "gap_open", "gap_extend", "backend", "k",
-                     "precision"))
-def sharded_chunk_topk(codes, qps, *, mesh, gap_open, gap_extend,
-                       backend="pallas", k=TOPK_PER_SHARD,
-                       precision="f32"):
-    """Score one chunk for Q queries on a ('data','query') mesh; return the
-    exact per-query top-k over this chunk.
-
-    Args:
-      codes: (B, L, V) int8; B must be divisible by the 'data' axis size.
-      qps: (Q, 32, m) int32 stacked query profiles; Q divisible by 'query'
-        axis size.
-
-    Returns:
-      vals: (Q, n_data*k) int32 candidate scores (sorted desc per shard
-        group, exact top-k of the chunk within the first k after a final
-        merge), and
-      idx: (Q, n_data*k) int32 flat lane indices (block*V + lane) into the
-        chunk, aligned with vals.
-    """
-    B, L, V = codes.shape
-    n_data = mesh.shape["data"]
-    score = _backend_score_chunk(backend)
-    kk = min(k, (B // n_data) * V)
-
-    def local(codes_l, qps_l):
-        # codes_l: (B/n_data, L, V); qps_l: (Q/n_query, 32, m)
-        di = jax.lax.axis_index("data")
-        Bl = codes_l.shape[0]
-        base = di * (Bl * V)
-
-        def one(qp):
-            if backend == "pallas":
-                from swimm_tpu.ops.pallas_scorer import max_query_pad
-                if qp.shape[1] > max_query_pad():
-                    from swimm_tpu.ops import longquery
-                    s = longquery.score_chunk_long(
-                        codes_l, qp, gap_open, gap_extend,
-                        precision=precision)
-                else:
-                    s = score(codes_l, qp, gap_open, gap_extend,
-                              precision=precision)
-            else:
-                s = score(codes_l, qp, gap_open, gap_extend)
-            return s.reshape(-1)
-
-        scores = jnp.stack([one(qps_l[i]) for i in range(qps_l.shape[0])])
-        v, i = jax.lax.top_k(scores, kk)              # (Ql, kk) local
-        gi = (i + base).astype(jnp.int32)
-        # gather candidates from every data shard (k values each — only
-        # k*n_data ints cross the interconnect, never full score vectors)
-        vg = jax.lax.all_gather(v, "data", axis=1)     # (Ql, n_data, kk)
-        ig = jax.lax.all_gather(gi, "data", axis=1)
-        Ql = vg.shape[0]
-        return (vg.reshape(Ql, n_data * kk), ig.reshape(Ql, n_data * kk))
-
-    vals, idx = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P("data", None, None), P("query", None, None)),
-        out_specs=(P("query", None), P("query", None)),
-        check_vma=False,
-    )(codes, qps)
-    return vals, idx
 
 
 @functools.partial(
@@ -252,35 +178,6 @@ def build_tile_shards(packed: PackedDb, mesh):
     return out
 
 
-_SHARDED_CHUNK_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
-def shard_chunk_arrays(codes: np.ndarray, mesh, db=None,
-                       chunk_id=None) -> tuple[jnp.ndarray, int]:
-    """Pad a chunk's block axis to the data-axis size and device_put it
-    sharded over ('data', None, None). Returns (device array, padded B).
-
-    With db/chunk_id set, the sharded device array is cached (weak-keyed on
-    the PackedDb) and reused across queries — device-resident DB."""
-    if db is not None:
-        per_db = _SHARDED_CHUNK_CACHE.setdefault(db, {})
-        hit = per_db.get((chunk_id, mesh))
-        if hit is not None:
-            return hit
-    n_data = mesh.shape["data"]
-    B = codes.shape[0]
-    Bp = ((B + n_data - 1) // n_data) * n_data
-    if Bp != B:
-        from swimm_tpu.alphabet import PAD_CODE
-        pad = np.full((Bp - B,) + codes.shape[1:], PAD_CODE, dtype=codes.dtype)
-        codes = np.concatenate([codes, pad], axis=0)
-    sharding = NamedSharding(mesh, P("data", None, None))
-    out = (jax.device_put(codes, sharding), Bp)
-    if db is not None:
-        per_db[(chunk_id, mesh)] = out
-    return out
-
-
 def pad_queries(qps: np.ndarray, mesh) -> np.ndarray:
     """Pad the query axis to the 'query' mesh axis size (with all-PAD
     profiles that score 0 everywhere)."""
@@ -371,34 +268,6 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         n_db_seqs=packed.n_seqs, n_queries=Q, seconds=seconds,
         timers=timer.report())
     return results, metrics
-
-
-def _sharded_chunks_fallback(packed, qps_dev, mesh, config, backend,
-                             topk_per_shard, precision, timer, Q):
-    """Per-chunk sharded scoring loop (one dispatch per chunk). Used when
-    the whole-DB ragged path can't run (long queries on the pallas
-    backend); also the historical reference for the tiles path."""
-    pool_v, pool_i = [[] for _ in range(Q)], [[] for _ in range(Q)]
-    for ch in packed.chunks:
-        with timer.phase("h2d"):
-            codes_dev, Bp = shard_chunk_arrays(
-                np.ascontiguousarray(ch.codes), mesh,
-                db=packed, chunk_id=ch.chunk_id)
-        with timer.phase("score+merge"):
-            vals, idx = sharded_chunk_topk(
-                codes_dev, qps_dev, mesh=mesh, gap_open=config.gap_open,
-                gap_extend=config.gap_extend, backend=backend,
-                k=topk_per_shard, precision=precision)
-            vals = np.asarray(vals)[:Q]
-            idx = np.asarray(idx)[:Q]
-        for qi in range(Q):
-            # map chunk-local flat lane -> sorted db index; drop pad lanes
-            lane = idx[qi]
-            valid = lane < ch.n_seqs
-            pool_v[qi].append(np.where(valid, vals[qi], -1))
-            pool_i[qi].append(np.where(valid, lane + ch.base, 0))
-    return (np.stack([np.concatenate(p) for p in pool_v]),
-            np.stack([np.concatenate(p) for p in pool_i]))
 
 
 def _fixed_profile(q, config, m_pad):
