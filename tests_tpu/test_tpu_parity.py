@@ -133,6 +133,31 @@ def test_fused_tiles_search_equals_ladder_serial():
                    [(h.score, h.sorted_idx) for h in r2.hits]
 
 
+def test_packed_large_batch_vs_serial():
+    # 12 queries of widely mixed lengths through the packed serving path
+    # (multiple packs, many segments) vs the exact serial driver
+    import tempfile
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.models.engine import (SearchConfig, score_db,
+                                         search, top_k_hits)
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    lens = [9, 24, 61, 88, 144, 200, 256, 301, 388, 450, 512, 700]
+    queries = synth_queries(12, lens, seed=17)
+    recs = synth_db(1000, seed=18, median_len=150, sigma=0.6, max_len=900,
+                    queries=[q.codes for q in queries], homolog_frac=0.02)
+    with tempfile.TemporaryDirectory() as td:
+        packed = build_db(recs, td, V=128)
+        fast, _ = search(packed, queries,
+                         SearchConfig(top_k=8, precision="adaptive"))
+        cfg = SearchConfig(top_k=8, precision="f32")
+        for q, res in zip(queries, fast):
+            exp = top_k_hits(packed, score_db(packed, q, cfg), 8)
+            assert [(h.score, h.sorted_idx) for h in res.hits] == \
+                   [(h.score, h.sorted_idx) for h in exp], q.title
+
+
 def test_sharded_search_on_tpu_mesh():
     import tempfile
 
