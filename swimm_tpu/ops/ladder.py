@@ -63,7 +63,7 @@ def _pow2(n: int) -> int:
 
 def score_db_adaptive(packed, qp, query_len: int, gap_open: int,
                       gap_extend: int, tiers=DEFAULT_TIERS,
-                      matrix="BLOSUM62", interpret: bool = False,
+                      matrix="BLOSUM62", interpret: bool | None = None,
                       dev_tiles=None, dev_outrow=None):
     """Whole-database precision ladder over the ragged tile stream.
 

@@ -37,8 +37,8 @@ LONG_TILE_M = 1024  # query rows per tile: fits VMEM with the carry
 # streams and boundary scratch (2048 OOMs, measured)
 
 from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _mm_dtype,
-                                         _negval, _shift_rows, max_query_pad,
-                                         pick_jt)
+                                         _negval, _resolve_interpret,
+                                         _shift_rows, max_query_pad, pick_jt)
 
 
 
@@ -186,6 +186,7 @@ def _score_tile(codes_n, qpt_tile, delta, hbot, gcar, gap_open, gap_extend,
             pltpu.VMEM((m, vk), dtype),                  # Smax'
             pltpu.VMEM((8, vk), jnp.float32),            # hbot prev column
         ],
+        interpret=_resolve_interpret(None),
     )(delta, qpt_tile, ramp, codes_n, hbot, gcar)
     return out[:, 0, :], hbot2, gcar2
 
@@ -232,7 +233,7 @@ def _dp_ragged_tile_kernel(outrow_ref, delta_ref, qpt_ref, ramp_ref, db_ref,
                                              "jt_steps", "interpret"))
 def _score_tiles_one_qtile(tiles, outrow, n_rows, qpt_tile, delta, hbot,
                            gcar, gap_open, gap_extend, precision="f32",
-                           jt_steps=32, interpret=False):
+                           jt_steps=32, interpret=None):
     T, jt, V = tiles.shape
     m = qpt_tile.shape[0]
     dtype = {"f32": jnp.float32, "int32": jnp.int32}[precision]
@@ -282,7 +283,7 @@ def _score_tiles_one_qtile(tiles, outrow, n_rows, qpt_tile, delta, hbot,
             jax.ShapeDtypeStruct((T, jt_steps, V), jnp.float32),
             jax.ShapeDtypeStruct((T, jt_steps, V), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(jnp.asarray(outrow, jnp.int32), delta, qpt_tile, ramp, tiles,
       hbot, gcar)
     return out[:, 0, :], hbot2, gcar2
@@ -291,7 +292,7 @@ def _score_tiles_one_qtile(tiles, outrow, n_rows, qpt_tile, delta, hbot,
 def score_tiles_long(tiles, outrow, n_rows: int, qp, gap_open: int,
                      gap_extend: int, precision: str = "f32",
                      tile_m: int | None = None,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool | None = None) -> jnp.ndarray:
     """Score a whole-DB ragged tile stream against a query of ANY length:
     the query is tiled at tile_m rows, each tile is one ragged-grid kernel
     dispatch over the full stream, and the H/F boundary state between

@@ -68,6 +68,14 @@ def _negval(dtype):
     return -(1 << 28) if dtype == jnp.int32 else -3e8
 
 
+def _resolve_interpret(flag):
+    """None = auto: compiled Mosaic on TPU, interpreter elsewhere (pallas
+    has no compiled CPU lowering). Explicit True/False is honored."""
+    if flag is None:
+        return jax.default_backend() != "tpu"
+    return flag
+
+
 def _mm_dtype():
     """bf16 feeds the MXU in compiled kernels; interpret mode executes the
     dot on CPU, where XLA's bf16 DotThunk is unimplemented for some shapes
@@ -318,7 +326,7 @@ def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
 def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
                 qp: jnp.ndarray, gap_open: int, gap_extend: int,
                 precision: str = "f32", jt_steps: int = 32,
-                interpret: bool = False,
+                interpret: bool | None = None,
                 ceiling: int | None = None) -> jnp.ndarray:
     """Score an entire ragged tile stream (all blocks, any lengths) in ONE
     kernel dispatch.
@@ -377,7 +385,7 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
             bytes_accessed=tiles.size + 4 * n_rows * V,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(jnp.asarray(outrow, jnp.int32), qpt, ramp, tiles)
     return out[:, 0, :]
 
@@ -445,7 +453,7 @@ def score_tiles_packed(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
                        qp: jnp.ndarray, seg_of_group: jnp.ndarray,
                        gap_open: int, gap_extend: int, n_seg_cap: int = 48,
                        precision: str = "f32", jt_steps: int = 32,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool | None = None) -> jnp.ndarray:
     """Score a ragged tile stream against a PACKED multi-query profile in
     one dispatch; every shape is fixed per (database, pack bucket), so a
     server compiles a handful of programs total.
@@ -527,7 +535,7 @@ def score_tiles_packed(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
             bytes_accessed=tiles.size + 4 * n_rows * n_seg_cap * V,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(jnp.asarray(outrow, jnp.int32), qpt, ramp, segoff, seg, c1v, tiles)
     return out
 
@@ -539,7 +547,7 @@ def score_tiles_packed(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
 def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
                 gap_open: int, gap_extend: int,
                 precision: str = "f32", jt_steps: int | None = None,
-                interpret: bool = False,
+                interpret: bool | None = None,
                 ceiling: int | None = None,
                 lanes_per_block: int | None = None) -> jnp.ndarray:
     """Score every lane of one packed chunk against one query (Pallas).
@@ -622,7 +630,7 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
             bytes_accessed=codes.size + 4 * Bn * vk,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(qpt, ramp, codes_n)
     out = out[:, 0, :].reshape(B, V)
     return out

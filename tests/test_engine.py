@@ -93,3 +93,17 @@ def test_streaming_small_windows(small_world):
     w = max(int(tb.max()), 2)
     got = score_db_streaming(packed, q, cfg, window_tiles=w)
     assert np.array_equal(got, base)
+
+
+def test_pallas_backend_on_cpu_production_paths(small_world):
+    # Pallas lowers on the CPU backend too, so the REAL production paths
+    # (packed serving, whole-DB ladder) are testable without TPU hardware
+    recs, queries, packed = small_world
+    ref, _ = search(packed, queries,
+                    SearchConfig(backend="xla", precision="f32", top_k=8))
+    got, _ = search(packed, queries,
+                    SearchConfig(backend="pallas", precision="adaptive",
+                                 top_k=8))
+    for a, b in zip(ref, got):
+        assert [(h.score, h.sorted_idx) for h in a.hits] == \
+               [(h.score, h.sorted_idx) for h in b.hits]
