@@ -28,6 +28,9 @@ test-tpu:
 bench:
 	python bench.py
 
+accept:
+	python benchmarks/acceptance.py
+
 clean:
 	rm -f csrc/*.so
 
