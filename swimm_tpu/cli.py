@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
 
+    info = sub.add_parser("info", help="describe a packed DB")
+    info.add_argument("-d", "--db", required=True)
+
     sy = sub.add_parser("synth", help="generate a synthetic protein FASTA")
     sy.add_argument("-o", "--output", required=True)
     sy.add_argument("-n", "--n-seqs", type=int, default=10000)
@@ -113,6 +116,28 @@ def _run(args) -> int:
         print(f"packed {packed.n_seqs} sequences "
               f"({packed.total_residues} residues) into "
               f"{len(packed.chunks)} chunks at {args.output}")
+        return 0
+
+    if args.command == "info":
+        import numpy as np
+
+        from swimm_tpu.db import load_db
+        packed = load_db(args.db)
+        tiles, outrow, n_rows = packed.flat_tiles()
+        lens = packed.lengths
+        pad_pct = 100 * (tiles.shape[0] * tiles.shape[1] * tiles.shape[2]
+                         / max(int(packed.total_residues), 1) - 1)
+        print(f"packed DB       {args.db}")
+        print(f"sequences       {packed.n_seqs:,}")
+        print(f"residues        {packed.total_residues:,}")
+        print(f"lengths         min {int(lens.min())} / median "
+              f"{int(np.median(lens))} / max {int(lens.max())}")
+        print(f"chunks          {len(packed.chunks)}  "
+              f"blocks {n_rows}  lanes/block {packed.manifest['V']}")
+        print(f"tile stream     {tiles.shape[0]:,} x {tiles.shape[1]} x "
+              f"{tiles.shape[2]} int8 = {tiles.nbytes/1e6:.1f} MB HBM "
+              f"({pad_pct:.1f}% padding)")
+        print(f"format version  {packed.manifest['format_version']}")
         return 0
 
     if args.command == "synth":

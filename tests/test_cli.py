@@ -53,3 +53,15 @@ def test_cli_clean_errors(tmp_path, capsys):
                  "-s", "BLOSUM63", "--backend", "xla"]) == 2
     err = capsys.readouterr().err
     assert "unknown substitution matrix" in err and "BLOSUM62" in err
+
+
+def test_cli_info(tmp_path, capsys):
+    dbfa = tmp_path / "db.fasta"
+    dbdir = tmp_path / "packed"
+    assert main(["synth", "-o", str(dbfa), "-n", "60", "--seed", "3"]) == 0
+    assert main(["preprocess", "-i", str(dbfa), "-o", str(dbdir),
+                 "--lanes", "8"]) == 0
+    capsys.readouterr()
+    assert main(["info", "-d", str(dbdir)]) == 0
+    out = capsys.readouterr().out
+    assert "sequences       60" in out and "tile stream" in out
