@@ -9,9 +9,10 @@ def test_quantize_len():
     assert quantize_len(1) == 32
     assert quantize_len(32) == 32
     assert quantize_len(33) == 64
-    assert quantize_len(513) == 640
-    assert quantize_len(2049) == 2560
-    assert quantize_len(8193) == 10240
+    assert quantize_len(513) == 544   # flat 32-quanta (ragged kernel makes
+    # chunk-shape diversity free; see db._LEN_QUANTA)
+    assert quantize_len(2049) == 2080
+    assert quantize_len(8193) == 8224
 
 
 def test_roundtrip(tmp_path):
