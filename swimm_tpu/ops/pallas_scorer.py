@@ -193,6 +193,7 @@ def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
         # a gap (f = excl_cummax(ht) + c1 with c1 = -gap_open <= 0 is
         # column-dominated by ht), so max_i h == max_i ht — and using ht
         # decouples the running-max update from the F dependency chain.
+        # (Tracking the bare diagonal candidate t measured ~1-2% SLOWER.)
         colmax = ht if colmax is None else jnp.maximum(colmax, ht)
 
         h = jnp.maximum(ht, f_of_ht(ht))
