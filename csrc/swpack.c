@@ -66,10 +66,13 @@ int swpack_parse_fasta(const char *path, const uint8_t *lut, fasta_data *out) {
             }
             have_seq = 1;
             cur_len = 0;
-            /* title (strip leading '>' and whitespace) */
+            /* title (strip '>' and surrounding whitespace, both ends —
+             * must match the Python parser's .strip()) */
             char *t = line + 1;
             while (*t == ' ' || *t == '\t') t++;
             size_t tl = strlen(t);
+            while (tl > 0 && (t[tl - 1] == ' ' || t[tl - 1] == '\t'))
+                tl--;
             if (grow((void **)&out->tit_offs, &toff_cap, out->n_seqs + 1,
                      sizeof(int64_t))) goto fail;
             out->tit_offs[out->n_seqs] = out->titles_len;
@@ -102,6 +105,12 @@ int swpack_parse_fasta(const char *path, const uint8_t *lut, fasta_data *out) {
     if (grow((void **)&out->tit_offs, &toff_cap, out->n_seqs + 1,
              sizeof(int64_t))) goto fail;
     out->tit_offs[out->n_seqs] = out->titles_len;
+    /* NUL-terminate the titles blob: the Python side receives it as a
+     * C string pointer, and without this a blob that exactly fills its
+     * capacity would be read past the allocation. */
+    if (grow((void **)&out->titles, &tit_cap, out->titles_len + 1, 1))
+        goto fail;
+    out->titles[out->titles_len] = 0;
     free(line);
     fclose(f);
     return 0;

@@ -50,7 +50,10 @@ def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
             else:
                 if title is None:
                     raise ValueError("FASTA data before first '>' header")
-                chunks.append(line)
+                # drop INTERNAL whitespace too (matches the native parser;
+                # alphabet.encode would otherwise map it to X)
+                chunks.append("".join(line.split()) if " " in line
+                              or "\t" in line else line)
         if title is not None:
             yield FastaRecord(title, encode("".join(chunks)))
     finally:

@@ -10,8 +10,6 @@ Python encoders cannot disagree.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from pathlib import Path
 
@@ -32,7 +30,9 @@ class _FastaData(ctypes.Structure):
         ("lengths", ctypes.POINTER(ctypes.c_int32)),
         ("n_seqs", ctypes.c_int64),
         ("tit_offs", ctypes.POINTER(ctypes.c_int64)),
-        ("titles", ctypes.c_char_p),
+        # POINTER(c_char), not c_char_p: attribute access on c_char_p does
+        # an unbounded strlen; we read exactly titles_len bytes instead
+        ("titles", ctypes.POINTER(ctypes.c_char)),
         ("titles_len", ctypes.c_int64),
     ]
 
@@ -46,16 +46,11 @@ def available() -> bool:
 
 
 def _load() -> ctypes.CDLL:
+    from swimm_tpu._cc import load_or_build
     global _dll
     with _lock:
         if _dll is None:
-            if (not _LIB.exists()
-                    or _LIB.stat().st_mtime < _CSRC.stat().st_mtime):
-                cc = os.environ.get("CC", "cc")
-                subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o",
-                                str(_LIB), str(_CSRC)],
-                               check=True, capture_output=True)
-            dll = ctypes.CDLL(str(_LIB))
+            dll = load_or_build(_CSRC, _LIB)
             dll.swpack_parse_fasta.restype = ctypes.c_int
             dll.swpack_parse_fasta.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
@@ -94,9 +89,15 @@ def parse_fasta(path) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
     if rc != 0:
         raise ValueError(f"swpack_parse_fasta failed rc={rc} for {path}")
     try:
-        n = data.n_seqs
-        codes = np.ctypeslib.as_array(data.codes,
-                                      shape=(data.total_residues,)).copy()
+        n = int(data.n_seqs)
+        if n == 0:
+            return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                    np.zeros(0, np.int32), [])
+        if data.total_residues:
+            codes = np.ctypeslib.as_array(
+                data.codes, shape=(data.total_residues,)).copy()
+        else:
+            codes = np.zeros(0, np.uint8)   # all-empty sequences: NULL blob
         lengths = np.ctypeslib.as_array(data.lengths, shape=(n,)).copy()
         toffs = np.ctypeslib.as_array(data.tit_offs, shape=(n + 1,)).copy()
         tblob = ctypes.string_at(data.titles, data.titles_len)

@@ -7,8 +7,6 @@ This is the "reference C path" oracle named by BASELINE.json config 1.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from pathlib import Path
 
@@ -20,20 +18,12 @@ _lock = threading.Lock()
 _dll = None
 
 
-def _build() -> None:
-    cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-shared", "-fPIC", "-o", str(_LIB), str(_CSRC)]
-    subprocess.run(cmd, check=True, capture_output=True)
-
-
 def _load() -> ctypes.CDLL:
+    from swimm_tpu._cc import load_or_build
     global _dll
     with _lock:
         if _dll is None:
-            if (not _LIB.exists()
-                    or _LIB.stat().st_mtime < _CSRC.stat().st_mtime):
-                _build()
-            dll = ctypes.CDLL(str(_LIB))
+            dll = load_or_build(_CSRC, _LIB)
             dll.swref_score.restype = ctypes.c_int32
             dll.swref_score.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
@@ -96,4 +86,6 @@ def sw_score_many(query: np.ndarray, db_seqs, submat: np.ndarray,
         sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sub.shape[0],
         int(gap_open), int(gap_extend),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if (out < 0).any():
+        raise MemoryError("swref_score_many allocation failure")
     return out.astype(np.int64)

@@ -30,6 +30,10 @@ def make_mesh(n_devices: int | None = None, query_axis: int = 1) -> Mesh:
     """
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} "
+                "available")
         devices = devices[:n_devices]
     n = len(devices)
     if n % query_axis:

@@ -81,3 +81,95 @@ def test_swref_under_asan(tmp_path):
     got = np.frombuffer(r.stdout, np.int32)
     exp = reference.sw_score_many(q, seqs, sub, 10, 2)
     assert np.array_equal(got, exp)
+
+
+PACK_MAIN = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdint.h>
+typedef struct {
+    unsigned char *codes; long long total_residues;
+    int *lengths; long long n_seqs;
+    long long *tit_offs; char *titles; long long titles_len;
+} fasta_data;
+extern int swpack_parse_fasta(const char*, const unsigned char*, fasta_data*);
+extern void swpack_free(fasta_data*);
+extern void swpack_fill_chunk(const unsigned char*, const long long*,
+                              const int*, const long long*, long long,
+                              int, int, signed char, signed char*, long long);
+int main(int argc, char **argv) {
+    unsigned char lut[256];
+    for (int i = 0; i < 256; i++) lut[i] = 22;   /* X */
+    for (int i = 0; i < 26; i++) lut['A' + i] = (unsigned char)(i % 24);
+    fasta_data d;
+    if (swpack_parse_fasta(argv[1], lut, &d) != 0) return 2;
+    printf("n=%lld res=%lld titles=%lld first=%c\n", d.n_seqs,
+           d.total_residues, d.titles_len,
+           d.titles_len ? d.titles[0] : '-');
+    if (d.n_seqs > 0) {
+        long long *offs = malloc(d.n_seqs * sizeof(long long));
+        long long *order = malloc(d.n_seqs * sizeof(long long));
+        long long tot = 0;
+        int maxlen = 1;
+        for (long long i = 0; i < d.n_seqs; i++) {
+            offs[i] = tot; tot += d.lengths[i]; order[i] = i;
+            if (d.lengths[i] > maxlen) maxlen = d.lengths[i];
+        }
+        int L = ((maxlen + 31) / 32) * 32, V = 4;
+        long long nb = (d.n_seqs + V - 1) / V;
+        signed char *out = malloc(nb * L * V);
+        swpack_fill_chunk(d.codes, offs, d.lengths, order, d.n_seqs,
+                          L, V, -1, out, nb * (long long)L * V);
+        long long sum = 0;
+        for (long long i = 0; i < nb * (long long)L * V; i++) sum += out[i];
+        printf("packsum=%lld\n", sum);
+        free(offs); free(order); free(out);
+    }
+    swpack_free(&d);
+    return 0;
+}
+"""
+
+PACK_CSRC = Path(__file__).resolve().parents[1] / "csrc" / "swpack.c"
+
+
+@pytest.mark.skipif(shutil.which("cc") is None, reason="no C compiler")
+def test_swpack_under_asan(tmp_path):
+    main_c = tmp_path / "main.c"
+    main_c.write_text(PACK_MAIN)
+    exe = tmp_path / "swpack_asan"
+    r = subprocess.run(
+        ["cc", "-O1", "-g", "-fsanitize=address,undefined",
+         "-fno-sanitize-recover=all", "-o", str(exe), str(PACK_CSRC),
+         str(main_c)],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"asan toolchain unavailable: {r.stderr[-200:]}")
+
+    # normal file, a title that exactly fills the 4096-byte first capacity
+    # (the historical heap-overread case), odd whitespace, and empty file
+    cases = {
+        "normal.fasta": ">s1 alpha\nMKVLA\nTRES\n>s2\nARN DCE\n",
+        "bigtitle.fasta": ">" + "T" * 4095 + "\nMKV\n",
+        "headers_only.fasta": ">a\n>b\n>c\n",
+        "empty.fasta": "",
+    }
+    for name, content in cases.items():
+        fa = tmp_path / name
+        fa.write_text(content)
+        r = subprocess.run([str(exe), str(fa)], capture_output=True,
+                           timeout=60)
+        assert r.returncode == 0, (name, r.stderr[-500:])
+    # parity: native parse matches the Python parser on the normal file
+    from swimm_tpu import native
+    from swimm_tpu.fasta import read_fasta
+    if native.available():
+        fa = tmp_path / "normal.fasta"
+        codes, offs, lens, titles = native.parse_fasta(fa)
+        recs = read_fasta(fa)
+        assert titles == [rec.title for rec in recs]
+        assert list(lens) == [rec.length for rec in recs]
+        for i, rec in enumerate(recs):
+            assert np.array_equal(codes[offs[i]:offs[i] + lens[i]],
+                                  rec.codes)
