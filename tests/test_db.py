@@ -110,3 +110,19 @@ def test_native_parse_matches_python(tmp_path):
     for i, r in enumerate(py):
         assert titles[i] == r.title
         np.testing.assert_array_equal(codes[offs[i]:offs[i]+lens[i]], r.codes)
+
+
+def test_load_db_rejects_unknown_version(tmp_path):
+    import json
+
+    from swimm_tpu.db import build_db, load_db
+    from swimm_tpu.utils.synth import synth_db
+
+    packed = build_db(synth_db(20, seed=1), tmp_path / "db", V=8)
+    mf = tmp_path / "db" / "manifest.json"
+    m = json.loads(mf.read_text())
+    m["format_version"] = 999
+    mf.write_text(json.dumps(m))
+    import pytest
+    with pytest.raises(ValueError, match="format_version"):
+        load_db(tmp_path / "db")
