@@ -19,7 +19,6 @@ start. Kernel-only and scaling benchmarks live in benchmarks/.
 
 import json
 import sys
-import time
 
 import numpy as np
 

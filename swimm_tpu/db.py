@@ -34,7 +34,7 @@ from pathlib import Path
 import numpy as np
 
 from swimm_tpu.alphabet import PAD_CODE
-from swimm_tpu.fasta import FastaRecord, iter_fasta
+from swimm_tpu.fasta import iter_fasta
 
 FORMAT_VERSION = 1
 

@@ -16,7 +16,7 @@ driver remains the bit-exactness anchor.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

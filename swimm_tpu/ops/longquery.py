@@ -32,13 +32,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from swimm_tpu.alphabet import PAD_CODE, PAD_SCORE, TABLE_CODES
+from swimm_tpu.alphabet import PAD_SCORE, TABLE_CODES
 LONG_TILE_M = 1024  # query rows per tile: fits VMEM with the carry
 # streams and boundary scratch (2048 OOMs, measured)
 
 from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _mm_dtype,
                                          _negval, _resolve_interpret,
-                                         _shift_rows, max_query_pad, pick_jt)
+                                         pick_jt)
 
 
 
