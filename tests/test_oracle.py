@@ -93,38 +93,7 @@ def test_score_many(rng):
     np.testing.assert_array_equal(s_np, s_c)
 
 
-def test_c_oracle_under_asan(rng, tmp_path):
-    # SURVEY.md section 6.2: the C oracle is the only native code; build it
-    # with AddressSanitizer and run a few scores in a subprocess.
-    import subprocess, sys
-    from pathlib import Path
-    csrc = Path(__file__).resolve().parents[1] / "csrc" / "swref.c"
-    lib = tmp_path / "libswref_asan.so"
-    try:
-        subprocess.run(["cc", "-O1", "-g", "-fsanitize=address", "-shared",
-                        "-fPIC", "-o", str(lib), str(csrc)],
-                       check=True, capture_output=True)
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        import pytest
-        pytest.skip("no asan-capable cc")
-    driver = (
-        "import ctypes, numpy as np\n"
-        f"dll = ctypes.CDLL({str(lib)!r})\n"
-        "dll.swref_score.restype = ctypes.c_int32\n"
-        "q = np.arange(24, dtype=np.uint8)\n"
-        "d = np.arange(24, dtype=np.uint8)[::-1].copy()\n"
-        "sub = np.ones((32, 32), dtype=np.int32)\n"
-        "r = dll.swref_score(q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 24,\n"
-        "                    d.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 24,\n"
-        "                    sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 32, 2, 1)\n"
-        "assert r > 0\n"
-        "print('ASAN_OK', r)\n")
-    env = {"ASAN_OPTIONS": "detect_leaks=0", "PATH": "/usr/bin:/bin"}
-    p = subprocess.run([sys.executable, "-c", driver], capture_output=True,
-                       text=True, env=env)
-    if "AddressSanitizer" in p.stderr and "ERROR" in p.stderr:
-        raise AssertionError(p.stderr[:2000])
-    if p.returncode != 0:
-        import pytest
-        pytest.skip(f"asan preload issue: {p.stderr[:200]}")
-    assert "ASAN_OK" in p.stdout
+# The in-process ASan variant of the C-oracle test was permanently
+# env-skipped here (LD_PRELOAD ordering); tests/test_native_asan.py covers
+# the same ground via dedicated ASan subprocesses, so it was removed
+# (VERDICT r1 weak #5).
