@@ -85,7 +85,8 @@ def worker(args) -> int:
     # --- production multi-host search: per-host shard assembly
     shards = distributed.global_tile_shards(packed, mesh)
     results, metrics = sharded_search(packed, queries, cfg, mesh=mesh,
-                                      tile_shards=shards)
+                                      tile_shards=shards,
+                                      measure_merge=True)
     out = {
         "pid": args.pid,
         "n_processes": jax.process_count(),

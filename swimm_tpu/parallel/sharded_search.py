@@ -33,30 +33,11 @@ from swimm_tpu.utils.metrics import PhaseTimer, SearchMetrics
 TOPK_PER_SHARD = 256  # BASELINE config 4
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "n_rows_local", "gap_open", "gap_extend",
-                     "backend", "k", "precision"))
-def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
-                       qps, *, mesh, n_rows_local, gap_open, gap_extend,
-                       backend="pallas", k=TOPK_PER_SHARD, precision="f32"):
-    """Whole-DB sharded search in ONE dispatch: each data shard scores its
-    ragged tile sub-stream with a single score_tiles kernel call, masks pad
-    lanes, takes its local top-k, and all_gathers candidates over 'data'.
-
-    Args (leading axis = 'data' shard; see build_tile_shards):
-      tiles_all:       (n_data, T_max, 32, V) int8
-      outrow_all:      (n_data, T_max) int32 local output rows (trash row =
-                       n_rows_local - 1 for padding tiles)
-      valid_all:       (n_data, n_rows_local * V) bool true-lane mask
-      lane2sorted_all: (n_data, n_rows_local * V) int32 -> sorted db index
-      qps:             (Q, 32, m) int32, Q divisible by the 'query' axis
-
-    Returns (vals, idx): (Q, n_data*k) candidate scores + sorted-db indices.
-    """
-    n_data = mesh.shape["data"]
-    V = tiles_all.shape[-1]
-    kk = min(k, n_rows_local * V)
+def _local_score_topk(backend, precision, n_rows_local, gap_open,
+                      gap_extend, kk):
+    """Per-shard body shared by the fused and split sharded steps: score the
+    local ragged tile sub-stream for every local query, mask pad lanes,
+    take the local top-kk, translate to sorted-db indices."""
 
     def local(tiles_l, outrow_l, valid_l, lane2sorted_l, qps_l):
         tiles_l = tiles_l[0]
@@ -84,7 +65,44 @@ def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
 
         scores = jnp.stack([one(qps_l[i]) for i in range(qps_l.shape[0])])
         v, i = jax.lax.top_k(scores, kk)
-        gi = lane2sorted_l[i]
+        return v, lane2sorted_l[i]                      # (Ql, kk) each
+
+    return local
+
+
+_SHARD_IN_SPECS = (P("data", None, None, None), P("data", None),
+                   P("data", None), P("data", None), P("query", None, None))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_rows_local", "gap_open", "gap_extend",
+                     "backend", "k", "precision"))
+def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
+                       qps, *, mesh, n_rows_local, gap_open, gap_extend,
+                       backend="pallas", k=TOPK_PER_SHARD, precision="f32"):
+    """Whole-DB sharded search in ONE dispatch: each data shard scores its
+    ragged tile sub-stream with a single score_tiles kernel call, masks pad
+    lanes, takes its local top-k, and all_gathers candidates over 'data'.
+
+    Args (leading axis = 'data' shard; see build_tile_shards):
+      tiles_all:       (n_data, T_max, 32, V) int8
+      outrow_all:      (n_data, T_max) int32 local output rows (trash row =
+                       n_rows_local - 1 for padding tiles)
+      valid_all:       (n_data, n_rows_local * V) bool true-lane mask
+      lane2sorted_all: (n_data, n_rows_local * V) int32 -> sorted db index
+      qps:             (Q, 32, m) int32, Q divisible by the 'query' axis
+
+    Returns (vals, idx): (Q, n_data*k) candidate scores + sorted-db indices.
+    """
+    n_data = mesh.shape["data"]
+    V = tiles_all.shape[-1]
+    kk = min(k, n_rows_local * V)
+    body = _local_score_topk(backend, precision, n_rows_local, gap_open,
+                             gap_extend, kk)
+
+    def local(*args):
+        v, gi = body(*args)
         vg = jax.lax.all_gather(v, "data", axis=1)     # (Ql, n_data, kk)
         ig = jax.lax.all_gather(gi, "data", axis=1)
         Ql = vg.shape[0]
@@ -92,12 +110,45 @@ def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
 
     vals, idx = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("data", None, None, None), P("data", None),
-                  P("data", None), P("data", None), P("query", None, None)),
+        in_specs=_SHARD_IN_SPECS,
         out_specs=(P("query", None), P("query", None)),
         check_vma=False,
     )(tiles_all, outrow_all, valid_all, lane2sorted_all, qps)
     return vals, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_rows_local", "gap_open", "gap_extend",
+                     "backend", "k", "precision"))
+def sharded_tiles_local_topk(tiles_all, outrow_all, valid_all,
+                             lane2sorted_all, qps, *, mesh, n_rows_local,
+                             gap_open, gap_extend, backend="pallas",
+                             k=TOPK_PER_SHARD, precision="f32"):
+    """Stage 1 of the SPLIT sharded step: local scoring + per-shard top-k,
+    NO communication — outputs stay sharded over ('query', 'data'). Pair
+    with merge_candidates (stage 2) to time the collective top-k merge
+    separately (BASELINE north-star metric #3)."""
+    kk = min(k, n_rows_local * tiles_all.shape[-1])
+    body = _local_score_topk(backend, precision, n_rows_local, gap_open,
+                             gap_extend, kk)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=_SHARD_IN_SPECS,
+        out_specs=(P("query", "data"), P("query", "data")),
+        check_vma=False,
+    )(tiles_all, outrow_all, valid_all, lane2sorted_all, qps)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def merge_candidates(vals, idx, *, mesh):
+    """Stage 2 of the split sharded step: the top-k merge collective.
+    Reshards the (Q, n_data*k) candidate arrays from P('query','data') to
+    P('query', None) — XLA lowers this to an all-gather over 'data' riding
+    ICI/DCN; this dispatch's wall time IS the merge latency."""
+    spec = NamedSharding(mesh, P("query", None))
+    return (jax.lax.with_sharding_constraint(vals, spec),
+            jax.lax.with_sharding_constraint(idx, spec))
 
 
 import weakref
@@ -204,7 +255,8 @@ def _device_to_host(x) -> np.ndarray:
 
 
 def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
-                   topk_per_shard: int = TOPK_PER_SHARD, tile_shards=None):
+                   topk_per_shard: int = TOPK_PER_SHARD, tile_shards=None,
+                   measure_merge: bool = False):
     """Batched, sharded search over a whole PackedDb.
 
     Queries are padded to a common profile length and batched into one
@@ -216,6 +268,11 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     build_tile_shards / distributed.global_tile_shards). Multi-host jobs
     MUST pass distributed.global_tile_shards(packed, mesh) so each host
     materializes only its own slice; default builds all shards locally.
+
+    measure_merge: run the split two-dispatch form (local score+top-k,
+    then the merge collective as its own dispatch) so the top-k merge
+    latency lands in timers['merge'] (BASELINE north-star metric #3).
+    Default is the fused single-dispatch form (timers['score+merge']).
 
     Returns (list[QueryResult], SearchMetrics).
     """
@@ -250,16 +307,30 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         if tile_shards is None:
             tile_shards = build_tile_shards(packed, mesh)
         tiles_all, outrow_all, valid_all, l2s_all, R_loc = tile_shards
-    with timer.phase("score+merge"):
-        vals, idx = sharded_tiles_topk(
-            tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
-            mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
-            gap_extend=config.gap_extend, backend=backend,
-            k=topk_per_shard, precision=precision)
-        # explicit sync so the score+merge timer is honest even if the
-        # host conversion is ever refactored away (VERDICT r1 weak #7)
-        all_v = _device_to_host(vals)[:Q]
-        all_i = _device_to_host(idx)[:Q]
+    kwargs = dict(mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
+                  gap_extend=config.gap_extend, backend=backend,
+                  k=topk_per_shard, precision=precision)
+    if measure_merge:
+        with timer.phase("score"):
+            lv, li = sharded_tiles_local_topk(
+                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                **kwargs)
+            jax.block_until_ready((lv, li))
+        with timer.phase("merge"):
+            vals, idx = merge_candidates(lv, li, mesh=mesh)
+            jax.block_until_ready((vals, idx))
+        with timer.phase("d2h"):
+            all_v = _device_to_host(vals)[:Q]
+            all_i = _device_to_host(idx)[:Q]
+    else:
+        with timer.phase("score+merge"):
+            vals, idx = sharded_tiles_topk(
+                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                **kwargs)
+            # explicit sync so the score+merge timer is honest even if
+            # the host conversion is ever refactored away (VERDICT r1 #7)
+            all_v = _device_to_host(vals)[:Q]
+            all_i = _device_to_host(idx)[:Q]
     # the dispatched work includes each shard's PAD-tile padding
     lane_positions = int(np.prod(tiles_all.shape))
 

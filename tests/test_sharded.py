@@ -81,3 +81,18 @@ def test_global_tile_shards_matches_local(world):
     total_real = sum(int((build(d)[1] != shapes["R_loc"] - 1).sum())
                      for d in range(4))
     assert total_real == packed.flat_tiles()[0].shape[0]
+
+
+def test_split_score_merge_matches_fused(world):
+    # the split two-dispatch form (local top-k, then the merge collective
+    # as its own timed dispatch) must rank identically to the fused form
+    # and must report the merge latency (BASELINE north-star metric #3)
+    packed, queries, cfg, serial = world
+    mesh = make_mesh(8, query_axis=2)
+    shard, metrics = sharded_search(packed, queries, cfg, mesh=mesh,
+                                    measure_merge=True)
+    for r1, r2 in zip(serial, shard):
+        assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+               [(h.score, h.sorted_idx) for h in r2.hits]
+    assert "merge" in metrics.timers and "score" in metrics.timers
+    assert metrics.timers["merge"] > 0
