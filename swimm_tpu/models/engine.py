@@ -446,13 +446,7 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     backend = config.resolve_backend()
 
     if config.precision == "ladder":
-        # the narrow-tier ladder escalates host-side and cannot run inside
-        # the jitted fused step; serve it through the serial driver
-        hits = []
-        for q in queries:
-            scores = score_db(packed, q, config)
-            hits.append(top_k_hits(packed, scores, config.top_k))
-        return hits, None
+        return _search_ladder_batch(packed, queries, config)
 
     if backend == "pallas" and config.query_pack:
         from swimm_tpu.models import qpack
@@ -497,6 +491,55 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
         sis = np.asarray(sis)
         for row, p in enumerate(positions):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
+    return out, padded_rows
+
+
+def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
+    """Fused batch serving for precision='ladder' (SURVEY.md section 4.4
+    wired into the serving path — VERDICT r1 next-step #4, BASELINE
+    config 2): one saturating tier-1 dispatch per padded-length group
+    covers the whole batch; flagged blocks escalate via union-batched
+    recompute dispatches (ops/ladder.score_db_adaptive_batch); host-side
+    top-k per query. Long queries fall back to the serial driver (the
+    tiled long-query kernel is already exact — the reference's ladder
+    lands long queries in the widest tier anyway, SURVEY.md section 6.7).
+    """
+    from swimm_tpu.ops import ladder, pallas_scorer
+    backend = config.resolve_backend()
+    mm = config.m_multiple
+    groups: dict = {}
+    long_pos = []
+    for pos, q in enumerate(queries):
+        m_pad = -(-max(q.length, 1) // mm) * mm
+        if backend == "pallas" and m_pad > pallas_scorer.max_query_pad():
+            long_pos.append(pos)
+        else:
+            groups.setdefault(m_pad, []).append(pos)
+
+    out = [None] * len(queries)
+    padded_rows = 0
+    mask, lane2sorted = packed.lane_maps()
+    dt, do, _ = device_tiles(packed)
+    for m_pad, positions in groups.items():
+        qps = np.stack([
+            build_query_profile(queries[p].codes, config.matrix, mm)
+            for p in positions])
+        scores, _stats = ladder.score_db_adaptive_batch(
+            packed, qps, [queries[p].length for p in positions],
+            config.gap_open, config.gap_extend, matrix=config.matrix,
+            backend=backend, dev_tiles=dt, dev_outrow=do)
+        padded_rows += m_pad * len(positions)
+        for row, p in enumerate(positions):
+            flat = scores[row].reshape(-1)
+            svec = np.zeros(packed.n_seqs, dtype=np.int32)
+            svec[lane2sorted[mask]] = flat[mask]
+            out[p] = top_k_hits(packed, svec, config.top_k)
+    for p in long_pos:
+        svec = score_db(packed, queries[p], config)
+        out[p] = top_k_hits(packed, svec, config.top_k)
+        from swimm_tpu.ops.longquery import LONG_TILE_M
+        m_pad = -(-max(queries[p].length, 1) // mm) * mm
+        padded_rows += -(-m_pad // LONG_TILE_M) * LONG_TILE_M
     return out, padded_rows
 
 
@@ -552,23 +595,14 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     results = []
     t0 = time.perf_counter()
     with timer.phase("h2d"):
-        # one-time DB upload, amortized over queries: the ragged tile
-        # stream for the pallas fast path, per-chunk arrays otherwise
-        from swimm_tpu.ops import pallas_scorer
-        mm = config.m_multiple
-        max_m = max((-(-max(q.length, 1) // mm) * mm for q in queries),
-                    default=0)
+        # one-time DB upload, amortized over queries
         if config.db_stream:
             pass                      # windows upload during scoring
-        elif config.precision != "ladder" or (
-                config.resolve_backend() == "pallas"
-                and max_m <= pallas_scorer.max_query_pad()):
-            # tiles serve every non-ladder query length on BOTH backends
-            # (fused path), and ladder up to the single-pass limit
-            # (score_db's whole-DB ladder)
-            device_tiles(packed)
         else:
-            device_chunks(packed)
+            # the ragged tile stream serves every fused path on both
+            # backends (incl. the batched ladder); the rare long-query
+            # ladder fallback uploads its chunks lazily in score_db
+            device_tiles(packed)
     padded_rows = None   # set by the fused path; others use the fallback
     if config.db_stream:
         # HBM-streaming path: per-query windowed scoring + host top-k
@@ -579,21 +613,15 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                 hits = top_k_hits(packed, scores, config.top_k)
             results.append(QueryResult(q.title, q.length, hits))
     # serving fast path: queries batched into one fused dispatch per padded
-    # profile length, device-side top-k; the narrow-tier ladder needs
-    # host-side escalation, so it stays per-chunk per-query
-    elif config.precision != "ladder":
+    # profile length (or pack), device-side top-k; precision='ladder' runs
+    # the batched tier-1 + union-recompute control flow inside
+    # search_fused_batch (_search_ladder_batch)
+    else:
         with timer.phase("score"):
             hit_lists, padded_rows = search_fused_batch(packed, queries,
                                                         config)
         results = [QueryResult(q.title, q.length, h)
                    for q, h in zip(queries, hit_lists)]
-    else:
-        for q in queries:
-            with timer.phase("score"):
-                scores = score_db(packed, q, config)
-            with timer.phase("topk"):
-                hits = top_k_hits(packed, scores, config.top_k)
-            results.append(QueryResult(q.title, q.length, hits))
     seconds = time.perf_counter() - t0
 
     total_q = sum(q.length for q in queries)

@@ -109,3 +109,55 @@ def test_score_db_adaptive_equals_exact(tmp_path):
     # homologs force int8-tier saturation and a tier-2 recompute
     assert exact.max() > ladder.INT8_CEIL
     assert stats["tier_blocks"][1] >= 1
+
+
+def test_score_db_adaptive_batch_equals_exact(tmp_path):
+    # batched whole-DB ladder (VERDICT r1 #4): per-query scores identical
+    # to per-query exact passes; union recompute escalates only flagged
+    # blocks; queries that saturate nothing stay tier-1-only
+    import jax.numpy as jnp
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.models.profile import build_query_profile
+    from swimm_tpu.ops import ladder, xla_scorer
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    queries = synth_queries(3, [48, 48, 48], seed=21)
+    recs = synth_db(120, seed=22, median_len=50, sigma=0.5, max_len=160,
+                    queries=[queries[0].codes], homolog_frac=0.1)
+    packed = build_db(recs, tmp_path / "db", V=8)
+    qps = np.stack([build_query_profile(q.codes, m_multiple=8)
+                    for q in queries])
+    scores, stats = ladder.score_db_adaptive_batch(
+        packed, qps, [q.length for q in queries], 10, 2, backend="xla")
+    tiles, outrow, n_rows = packed.flat_tiles()
+    saturated = False
+    for i, q in enumerate(queries):
+        exact = np.asarray(xla_scorer.score_tiles(
+            jnp.asarray(tiles), outrow, n_rows,
+            jnp.asarray(qps[i]), 10, 2))
+        assert np.array_equal(scores[i], exact), f"query {i}"
+        saturated = saturated or exact.max() > ladder.INT8_CEIL
+    assert saturated                      # homologs of query 0 escalate
+    assert stats["tier_blocks"][1] >= 1
+
+
+def test_search_ladder_batch_equals_serial(tmp_path):
+    # the serving entry: search(precision='ladder') now runs the batched
+    # fused control flow and must rank exactly like precision='f32'
+    from swimm_tpu.db import build_db
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    queries = synth_queries(4, [40, 64, 100, 30], seed=31)
+    recs = synth_db(150, seed=32, median_len=60, sigma=0.4, max_len=200,
+                    queries=[q.codes for q in queries], homolog_frac=0.08)
+    packed = build_db(recs, tmp_path / "db", V=16)
+    exact, _ = search(packed, queries,
+                      SearchConfig(backend="xla", precision="f32", top_k=8))
+    ladder_r, _ = search(packed, queries,
+                         SearchConfig(backend="xla", precision="ladder",
+                                      top_k=8))
+    for r1, r2 in zip(exact, ladder_r):
+        assert [(h.score, h.sorted_idx) for h in r1.hits] == \
+               [(h.score, h.sorted_idx) for h in r2.hits]
