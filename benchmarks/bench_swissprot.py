@@ -1,0 +1,158 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+"""Swiss-Prot-scale benchmark — BASELINE north-star metric #2
+(VERDICT r1 next-step #2): "DB sequences/sec at Swiss-Prot scale".
+
+Synthesizes a ~570k-sequence / ~2e8-residue database (Swiss-Prot's size,
+log-normal length mix — no network in this sandbox, SURVEY.md section 8),
+builds the packed DB through the NATIVE parser/packer (timed: the
+preprocess phase is part of the reference's contract, SURVEY.md section
+4.1), then measures the config-2-style search in both postures:
+
+  - HBM-resident (the production serving path, one upload amortized)
+  - --stream windowed (the DB-larger-than-HBM path), sweeping
+    window_tiles x max_in_flight to tune the defaults
+
+Exactness at this scale: every reported top hit is re-scored by the C
+oracle against the sequence EXTRACTED FROM THE PACKED DB (full-DB oracle
+passes live in acceptance.py at the 10k scale).
+
+Usage: python benchmarks/bench_swissprot.py [--n-seqs 570000] [--quick]
+Prints one JSON line per measurement and a summary line.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def check_hits_vs_oracle(packed, queries, results, n_queries: int = 3):
+    from swimm_tpu.matrices import get_matrix
+    from swimm_tpu.ops import cref
+
+    sub = get_matrix("BLOSUM62")
+    for q, res in list(zip(queries, results))[:n_queries]:
+        seqs = [packed.seq_codes(h.sorted_idx) for h in res.hits[:4]]
+        exp = cref.sw_score_many(q.codes, seqs, sub, 10, 2)
+        got = [h.score for h in res.hits[:4]]
+        assert list(exp) == got, (q.title, list(exp), got)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-seqs", type=int, default=570_000)
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the streaming sweep (single setting)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="rebuild the FASTA + packed DB from scratch")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+    from swimm_tpu.db import build_db, load_db
+    from swimm_tpu.models.engine import (SearchConfig, score_db_streaming,
+                                         search, top_k_hits)
+    from swimm_tpu.utils.synth import synth_fasta_fast, synth_queries
+
+    on_tpu = jax.default_backend() != "cpu"
+    n_seqs = args.n_seqs if on_tpu else 1_500   # CPU: logic smoke only
+
+    rng = np.random.default_rng(0)
+    qlens = list(rng.integers(100, 501, size=20))
+    queries = synth_queries(20, qlens, seed=1)
+
+    root = REPO / f".bench_sp_{n_seqs}"
+    root.mkdir(exist_ok=True)
+    fasta = root / "sp.fasta"
+    dbdir = root / "db"
+    out = {"n_seqs": n_seqs}
+
+    if args.fresh or not fasta.exists():
+        t0 = time.perf_counter()
+        total = synth_fasta_fast(fasta, n_seqs, seed=2,
+                                 queries=[q.codes for q in queries],
+                                 homolog_frac=0.0005)
+        out["synth_s"] = round(time.perf_counter() - t0, 1)
+        out["total_residues"] = total
+
+    if args.fresh or not (dbdir / "manifest.json").exists():
+        t0 = time.perf_counter()
+        packed = build_db(str(fasta), dbdir, V=128)
+        out["db_build_s"] = round(time.perf_counter() - t0, 1)
+    else:
+        packed = load_db(dbdir)
+    out["total_residues"] = int(packed.total_residues)
+    tiles, _, _ = packed.flat_tiles()
+    out["tile_stream_mb"] = round(tiles.nbytes / 1e6, 1)
+    print(json.dumps({"phase": "db", **out}), flush=True)
+
+    # ---- posture A: HBM-resident serving (per-length shapes) ----
+    cfg = SearchConfig(top_k=16, query_pack=False,
+                       backend="pallas" if on_tpu else "xla")
+    search(packed, queries, cfg)                   # warm: compile + upload
+    best = None
+    for _ in range(3):
+        results, met = search(packed, queries, cfg)
+        if best is None or met.seconds < best.seconds:
+            best = met
+    check_hits_vs_oracle(packed, queries, results)
+    resident = {
+        "phase": "resident",
+        "gcups_real": round(best.gcups, 1),
+        "seq_scores_per_sec_M": round(best.seqs_per_sec / 1e6, 2),
+        "seconds": round(best.seconds, 2),
+        "exact": True,
+    }
+    print(json.dumps(resident), flush=True)
+
+    # ---- posture B: streaming windows (DB > HBM path) ----
+    stream_rows = []
+    sweeps = ([(8192, 2)] if args.quick
+              else [(4096, 2), (8192, 2), (8192, 3), (16384, 2),
+                    (16384, 3), (32768, 2)])
+    sq = queries[:3] if on_tpu else queries[:1]
+    for wt, mif in sweeps:
+        scfg = SearchConfig(top_k=16, db_stream=True, window_tiles=wt,
+                            max_in_flight=mif,
+                            backend="pallas" if on_tpu else "xla")
+        # warm compile for this window shape
+        score_db_streaming(packed, sq[0], scfg)
+        t0 = time.perf_counter()
+        for q in sq:
+            scores = score_db_streaming(packed, q, scfg)
+        dt = time.perf_counter() - t0
+        hits = top_k_hits(packed, scores, 16)
+        cells = sum(q.length for q in sq) * packed.total_residues
+        stream_rows.append({
+            "phase": "stream", "window_tiles": wt, "max_in_flight": mif,
+            "gcups_real": round(cells / dt / 1e9, 1),
+            "seq_scores_per_sec_M": round(
+                packed.n_seqs * len(sq) / dt / 1e6, 2),
+            "top1": hits[0].score,
+        })
+        print(json.dumps(stream_rows[-1]), flush=True)
+
+    best_stream = max(stream_rows, key=lambda r: r["gcups_real"])
+    print(json.dumps({
+        "metric": "Swiss-Prot-scale search (20 queries 100-500aa, "
+                  f"{n_seqs} seqs, {packed.total_residues} residues)",
+        "resident_gcups": resident["gcups_real"],
+        "resident_Mseqscores_per_s": resident["seq_scores_per_sec_M"],
+        "stream_best_gcups": best_stream["gcups_real"],
+        "stream_best_cfg": [best_stream["window_tiles"],
+                            best_stream["max_in_flight"]],
+        "stream_vs_resident_pct": round(
+            100 * best_stream["gcups_real"] / resident["gcups_real"], 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

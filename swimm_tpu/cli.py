@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--topk-per-shard", type=int, default=256,
                     help="candidates gathered per data shard before the "
                          "collective merge (--sharded only)")
+    se.add_argument("--align", action="store_true",
+                    help="host-side traceback: print a BLAST-style "
+                         "alignment for every reported hit (extension — "
+                         "the reference reports scores only)")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -193,6 +197,22 @@ def _run(args) -> int:
                     topk_per_shard=args.topk_per_shard)
             else:
                 results, metrics = search(packed, queries, config)
+        aligns = None
+        if args.align:
+            from swimm_tpu.ops.traceback import sw_align
+            aligns = []
+            for q, r in zip(queries, results):
+                row = []
+                for h in r.hits:
+                    a = sw_align(q.codes, packed.seq_codes(h.sorted_idx),
+                                 matrix=args.matrix, gap_open=args.gap_open,
+                                 gap_extend=args.gap_extend)
+                    if a.score != h.score:   # full-stack exactness probe
+                        raise AssertionError(
+                            f"traceback score {a.score} != device hit "
+                            f"score {h.score} for {h.title!r}")
+                    row.append(a)
+                aligns.append(row)
         if args.json:
             out = {
                 "results": [{"query": r.query_title,
@@ -201,10 +221,24 @@ def _run(args) -> int:
                             for r in results],
                 "metrics": json.loads(metrics.to_json()),
             }
+            if aligns is not None:
+                for robj, arow in zip(out["results"], aligns):
+                    for hobj, a in zip(robj["hits"], arow):
+                        hobj["alignment"] = {
+                            "q_range": [a.q_start + 1, a.q_end],
+                            "d_range": [a.d_start + 1, a.d_end],
+                            "identity": a.n_identity, "length": a.length,
+                            "gaps": a.n_gaps,
+                            "q_aln": a.q_aln, "d_aln": a.d_aln,
+                        }
             print(json.dumps(out, indent=1))
         else:
-            for r in results:
+            for qi, r in enumerate(results):
                 print(r.as_table())
+                if aligns is not None:
+                    for h, a in zip(r.hits, aligns[qi]):
+                        print(f"\n> {h.title}")
+                        print(a.pretty())
                 print()
             print(f"time: {metrics.seconds:.3f}s  GCUPS: {metrics.gcups:.2f} "
                   f"(padded {metrics.padded_gcups:.2f})  "

@@ -147,6 +147,20 @@ class PackedDb:
         self._lane_maps_cache = (mask, lane2sorted)
         return self._lane_maps_cache
 
+    def seq_codes(self, sorted_idx: int) -> np.ndarray:
+        """Recover one sequence's residue codes from the packed chunks
+        (used by the traceback pass on top-k hits and by oracle spot
+        checks — no FASTA re-read needed)."""
+        if not 0 <= sorted_idx < self.n_seqs:
+            raise IndexError(sorted_idx)
+        L = int(self.lengths[sorted_idx])
+        for ch in self.chunks:
+            if ch.base <= sorted_idx < ch.base + ch.n_seqs:
+                k = sorted_idx - ch.base
+                blk, lane = divmod(k, ch.V)
+                return np.asarray(ch.codes[blk, :L, lane], dtype=np.uint8)
+        raise IndexError(sorted_idx)
+
     def block_max_lengths(self) -> np.ndarray:
         """Per global block row, the longest TRUE sequence length in it
         (sequences are length-sorted ascending, so it's the last real lane).
