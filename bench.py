@@ -1,9 +1,11 @@
-"""Headline benchmark: end-to-end serving GCUPS/chip on BASELINE config 2.
+"""Headline benchmark: end-to-end serving GCUPS/chip on BASELINE config 2
+at Swiss-Prot scale.
 
-A 100k-sequence synthetic Swiss-Prot-like database resident in HBM is
-searched by a 20-query batch (100-500 aa, BLOSUM62 10/2) through the
-production path: query packing (models/qpack.py) -> one ragged whole-DB
-kernel dispatch per pack -> fused device top-k. Prints ONE JSON line:
+A 570k-sequence / ~2e8-residue synthetic Swiss-Prot-scale database
+(BASELINE metric #2's stated scale) resident in HBM is searched by a
+20-query batch (100-500 aa, BLOSUM62 10/2) through the production path:
+ragged whole-DB kernel dispatches + fused device top-k. Prints ONE JSON
+line:
   {"metric": ..., "value": GCUPS, "unit": "GCUPS", "vs_baseline": ...}
 
 GCUPS counts REAL cells (true query length x true db residues — the
@@ -12,27 +14,34 @@ vs_baseline divides by 150 — the midpoint of the reference's host-only
 dual-Xeon AVX2 whole-search figure (~100-200 GCUPS, BASELINE.md,
 unverified [paper-mem]) — i.e. one v5e chip vs the reference's whole node.
 
-The synthetic DB is cached at .bench_db/ (resume-aware) and compiled
-programs persist in .jax_cache/, so repeat rounds skip the ~2 min cold
-start. Kernel-only and scaling benchmarks live in benchmarks/.
+Extra keys (same line): seq_scores/s and the roofline MFU figures from
+benchmarks/roofline.py (VERDICT r1 #5) — skipped if SWTPU_BENCH_NO_MFU=1.
+
+The synthetic DB is cached at .bench_sp_*/ (shared with
+benchmarks/bench_swissprot.py) and compiled programs persist in
+.jax_cache/, so repeat rounds skip the cold start. Kernel-only and
+scaling benchmarks live in benchmarks/.
 """
 
 import json
+import os
+import pathlib
 import sys
 
 import numpy as np
 
-N_SEQS = 100_000
+N_SEQS = 570_000
 N_QUERIES = 20
+REPO = pathlib.Path(__file__).resolve().parent
 
 
 def main() -> int:
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 
     from swimm_tpu.db import build_db, load_db
     from swimm_tpu.models.engine import SearchConfig, search
-    from swimm_tpu.utils.synth import synth_db, synth_queries
+    from swimm_tpu.utils.synth import synth_fasta_fast, synth_queries
 
     on_tpu = jax.default_backend() != "cpu"
     n_seqs = N_SEQS if on_tpu else 2_000
@@ -42,20 +51,24 @@ def main() -> int:
     qlens = list(rng.integers(100, 501, size=n_q))
     queries = synth_queries(n_q, qlens, seed=1)
 
-    import pathlib
-    db_dir = pathlib.Path(__file__).parent / f".bench_db_{n_seqs}"
-    if (db_dir / "manifest.json").exists():
-        packed = load_db(db_dir)
+    root = REPO / f".bench_sp_{n_seqs}"
+    root.mkdir(exist_ok=True)
+    dbdir = root / "db"
+    if (dbdir / "manifest.json").exists():
+        packed = load_db(dbdir)
     else:
-        recs = synth_db(n_seqs, seed=2, queries=[q.codes for q in queries],
-                        homolog_frac=0.001)
-        packed = build_db(recs, db_dir, V=128)
+        fasta = root / "sp.fasta"
+        if not fasta.exists():
+            synth_fasta_fast(fasta, n_seqs, seed=2,
+                             queries=[q.codes for q in queries],
+                             homolog_frac=0.0005)
+        packed = build_db(str(fasta), dbdir, V=128)
 
     # max-throughput posture: per-length compiled shapes (query_pack=False)
     # — tightest padding; the deterministic query set means the ~15 kernel
     # shapes compile once ever and persist in .jax_cache. The bounded-shape
-    # packed posture (default in production) measures ~12% lower; both are
-    # recorded in BASELINE.md.
+    # packed posture (default in production) is measured in
+    # benchmarks/bench_serving.py; both are recorded in BASELINE.md.
     cfg = SearchConfig(top_k=16, query_pack=False,
                        backend="pallas" if on_tpu else "xla")
     search(packed, queries, cfg)          # warmup: compile + DB upload
@@ -66,14 +79,28 @@ def main() -> int:
             best = met
 
     gcups = best.gcups                    # real cells / time
-    print(json.dumps({
+    out = {
         "metric": ("GCUPS/chip, end-to-end exact SW search "
-                   f"({n_q} queries 100-500aa vs {n_seqs}-seq DB, "
-                   "BLOSUM62 10/2, HBM-resident serving path, real cells)"),
+                   f"({n_q} queries 100-500aa vs {n_seqs}-seq "
+                   f"{packed.total_residues}-residue DB, BLOSUM62 10/2, "
+                   "HBM-resident serving path, real cells)"),
         "value": round(gcups, 1),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 150.0, 2),
-    }))
+        "seq_scores_per_sec_M": round(best.seqs_per_sec / 1e6, 2),
+    }
+    if on_tpu and not os.environ.get("SWTPU_BENCH_NO_MFU"):
+        try:
+            sys.path.insert(0, str(REPO / "benchmarks"))
+            import roofline
+            (sol_lo, sol_hi), vpu, opc = roofline.speed_of_light_gcups(1024)
+            padded = roofline.measure_kernel_padded_gcups(1024)
+            issued = padded * 1e9 * opc["total"]
+            out["kernel_padded_gcups"] = round(padded, 1)
+            out["mfu_pct"] = round(100 * issued / roofline.VPU_PEAK_OPS, 1)
+        except Exception as e:            # never fail the headline number
+            out["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(out))
     return 0
 
 

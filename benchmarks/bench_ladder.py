@@ -1,0 +1,82 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+"""Batched precision-ladder serving throughput vs the adaptive (exact f32)
+path — VERDICT r1 #4's acceptance bar: ladder batch search within 2x of
+adaptive throughput, bit-exact hit lists.
+
+Runs the config-2-shaped batch against the cached Swiss-Prot-scale DB in
+both precisions and prints the ratio. The ladder pays: a saturating tier-1
+whole-DB pass (ceilinged kernel variants compile once per padded length),
+full-score D2H + host top-k (no device top-k fusion — escalation is
+host-driven), and the union-recompute dispatches.
+
+Usage: python benchmarks/bench_ladder.py [--n-queries 20]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-queries", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+    from swimm_tpu.db import load_db
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.utils.synth import synth_queries
+
+    on_tpu = jax.default_backend() != "cpu"
+    n_seqs = 570_000 if on_tpu else 1_500
+    dbdir = REPO / f".bench_sp_{n_seqs}" / "db"
+    if not (dbdir / "manifest.json").exists():
+        print("run benchmarks/bench_swissprot.py first (builds the DB)",
+              file=sys.stderr)
+        return 1
+    packed = load_db(dbdir)
+
+    rng = np.random.default_rng(0)
+    qlens = list(rng.integers(100, 501, size=args.n_queries))
+    queries = synth_queries(args.n_queries, qlens, seed=1)
+    backend = "pallas" if on_tpu else "xla"
+
+    out = {}
+    for name, prec in (("adaptive", "adaptive"), ("ladder", "ladder")):
+        cfg = SearchConfig(top_k=16, precision=prec, backend=backend)
+        t0 = time.perf_counter()
+        search(packed, queries, cfg)          # warm (compiles, upload)
+        warm = time.perf_counter() - t0
+        best = None
+        for _ in range(3):
+            results, met = search(packed, queries, cfg)
+            if best is None or met.seconds < best.seconds:
+                best = met
+        out[name] = {"gcups": round(best.gcups, 1),
+                     "seconds": round(best.seconds, 2),
+                     "warm_s": round(warm, 1)}
+        out[name + "_hits"] = [[(h.score, h.sorted_idx) for h in r.hits]
+                               for r in results]
+        print(json.dumps({name: out[name]}), flush=True)
+
+    exact = out.pop("adaptive_hits")
+    lad = out.pop("ladder_hits")
+    out["hits_equal"] = exact == lad
+    out["ladder_vs_adaptive"] = round(
+        out["ladder"]["gcups"] / out["adaptive"]["gcups"], 3)
+    out["within_2x"] = out["ladder_vs_adaptive"] >= 0.5
+    print(json.dumps(out))
+    return 0 if out["hits_equal"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,7 +37,10 @@ def main() -> int:
     import tempfile
     with tempfile.TemporaryDirectory() as td:
         packed = build_db(recs, td, V=128)
-        cfg = SearchConfig(top_k=16)
+        # measure the bounded-compile PACKED posture here (the default
+        # posture, per-length shapes, is bench.py's headline; BASELINE.md
+        # records both)
+        cfg = SearchConfig(top_k=16, query_pack=True)
         print("warmup (compile + DB upload)...", flush=True)
         t0 = time.perf_counter()
         search(packed, queries, cfg)

@@ -58,11 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "(--stream only; one compiled shape per value)")
     se.add_argument("--max-in-flight", type=int, default=2,
                     help="streaming windows alive on device (--stream only)")
-    se.add_argument("--no-query-pack", action="store_true",
-                    help="compile one kernel shape per padded query length "
-                         "instead of packing the batch into fixed-size "
-                         "profiles (max steady-state throughput, unbounded "
-                         "compile variants)")
+    se.add_argument("--query-pack", dest="query_pack", action="store_true",
+                    default=False,
+                    help="pack the query batch into fixed-size profiles: "
+                         "<= 16 compiled kernel shapes ever (best for "
+                         "unpredictable query-length mixes / cold "
+                         "processes; ~12%% below per-length throughput)")
+    se.add_argument("--no-query-pack", dest="query_pack",
+                    action="store_false",
+                    help="per-length compiled shapes (default: max "
+                         "steady-state throughput; one compile per "
+                         "distinct padded query length, amortized by the "
+                         "persistent compilation cache)")
     se.add_argument("--topk-per-shard", type=int, default=256,
                     help="candidates gathered per data shard before the "
                          "collective merge (--sharded only)")
@@ -181,7 +188,7 @@ def _run(args) -> int:
         config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
                               gap_extend=args.gap_extend, top_k=args.top_k,
                               backend=args.backend, precision=args.precision,
-                              query_pack=not args.no_query_pack,
+                              query_pack=args.query_pack,
                               db_stream=args.stream,
                               window_tiles=args.window_tiles,
                               max_in_flight=args.max_in_flight)

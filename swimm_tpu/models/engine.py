@@ -46,8 +46,15 @@ class SearchConfig:
     m_multiple: int = 16         # query-length padding granularity: small
     # padding keeps GCUPS honest (real cells, not pad rows); each distinct
     # padded length is one jit variant, amortized by the compilation cache
-    query_pack: bool = True      # pack query batches along the profile axis
-    # (models/qpack.py): fixed compiled shapes + one dispatch per pack
+    query_pack: bool = False     # pack query batches along the profile axis
+    # (models/qpack.py). Tradeoff (r2 flip, VERDICT r1 #6): per-length
+    # grouping (False) measures ~12% faster steady-state (166-176 vs ~147
+    # real GCUPS on v5e — query packing pays ~2.4% separator rows, ~4-6%
+    # segmented-F cummax, ~4% pack roundup) but compiles one kernel shape
+    # per distinct padded query length (amortized by the persistent
+    # compilation cache; cold start ~250 s vs ~100 s for the <= 16 fixed
+    # pack shapes). Turn packing ON for unpredictable query-length mixes
+    # where bounded compile count matters more than peak throughput.
     db_stream: bool = False      # stream the DB through HBM in fixed-size
     # double-buffered windows (for DBs larger than device memory)
     window_tiles: int = 8192     # streaming window size (tiles); one

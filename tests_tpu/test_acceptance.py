@@ -44,7 +44,7 @@ def test_config1_144aa_vs_10k_db_exact_vs_c_path():
         assert np.array_equal(got, exp_sorted), (
             f"{(got != exp_sorted).sum()} score mismatches")
 
-        # ranked hit list through the full serving path (packed by default)
+        # ranked hit list through the full serving path (default posture)
         results, met = search(packed, queries, SearchConfig(top_k=16))
         order = np.lexsort((np.arange(len(exp_sorted)), -exp_sorted))[:16]
         assert [h.sorted_idx for h in results[0].hits] == [int(i) for i in order]
