@@ -220,7 +220,10 @@ VPU_PEAK_OPS = 1024 * 4 * 1.5e9
 
 def main() -> int:
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.join(_os.path.dirname(
+                          _os.path.dirname(_os.path.abspath(__file__))),
+                          ".jax_cache"))
     m = 1024
     (sol_lo, sol_hi), vpu, opc = speed_of_light_gcups(m)
     meas = measure_kernel_padded_gcups(m)

@@ -194,6 +194,14 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
     """
     window_tiles = window_tiles or config.window_tiles
     max_in_flight = max_in_flight or config.max_in_flight
+    _, outrow_all, n_rows_all = packed.flat_tiles()
+    biggest = int(np.bincount(outrow_all, minlength=n_rows_all).max()) \
+        if n_rows_all else 0
+    if biggest > window_tiles:
+        raise ValueError(
+            f"window_tiles={window_tiles} is smaller than the largest DB "
+            f"block ({biggest} tiles, ~{biggest * 32} residues); blocks "
+            "cannot span windows — raise --window-tiles")
     backend = config.resolve_backend()
     qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
                                          config.m_multiple))

@@ -87,6 +87,8 @@ def build_query_packs(queries, matrix="BLOSUM62",
     Queries longer than buckets[-1] - SUB must go through the long-query
     path instead; passing one raises ValueError.
     """
+    if not len(queries):
+        return []        # no empty all-separator pack (r2 review finding)
     table = kernel_table(matrix)                     # (32, 32) int32
     cap = buckets[-1]
     items = []

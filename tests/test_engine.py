@@ -96,17 +96,21 @@ def test_streaming_small_windows(small_world):
 
 
 def test_pallas_backend_on_cpu_production_paths(small_world):
-    # Pallas lowers on the CPU backend too, so the REAL production paths
-    # (packed serving, whole-DB ladder) are testable without TPU hardware
+    # Pallas lowers (interprets) on the CPU backend too, so the REAL
+    # production paths are testable without TPU hardware. query_pack
+    # defaults to False since r2, so the PACKED serving driver
+    # (_search_packed / _packed_search_step) is exercised EXPLICITLY here
+    # — it must not lose e2e coverage to the default flip (r2 review).
     recs, queries, packed = small_world
     ref, _ = search(packed, queries,
                     SearchConfig(backend="xla", precision="f32", top_k=8))
-    got, _ = search(packed, queries,
-                    SearchConfig(backend="pallas", precision="adaptive",
-                                 top_k=8))
-    for a, b in zip(ref, got):
-        assert [(h.score, h.sorted_idx) for h in a.hits] == \
-               [(h.score, h.sorted_idx) for h in b.hits]
+    for pack in (False, True):
+        got, _ = search(packed, queries,
+                        SearchConfig(backend="pallas", precision="adaptive",
+                                     query_pack=pack, top_k=8))
+        for a, b in zip(ref, got):
+            assert [(h.score, h.sorted_idx) for h in a.hits] == \
+                   [(h.score, h.sorted_idx) for h in b.hits], f"pack={pack}"
 
 
 def test_config_validates_m_multiple():
@@ -119,3 +123,14 @@ def test_config_validates_m_multiple():
             SearchConfig(m_multiple=bad)
     SearchConfig(m_multiple=8)
     SearchConfig(m_multiple=64)
+
+
+def test_stream_window_smaller_than_block_is_friendly(small_world):
+    # r2 review: --window-tiles smaller than the largest DB block must be
+    # a ValueError (CLI-friendly), not a bare assert / opaque shape error
+    pytest = __import__("pytest")
+    recs, queries, packed = small_world
+    from swimm_tpu.models.engine import SearchConfig, score_db_streaming
+    with pytest.raises(ValueError, match="window_tiles"):
+        score_db_streaming(packed, queries[0],
+                           SearchConfig(backend="xla", window_tiles=1))

@@ -98,3 +98,9 @@ def test_pack_rejects_overlong_query():
     with pytest.raises(ValueError):
         build_query_packs([random_codes(rng, PACK_BUCKETS[-1] + 1)])
     assert _rows_needed(PACK_BUCKETS[-1] - 8) == PACK_BUCKETS[-1]
+
+
+def test_empty_query_list_no_packs():
+    # r2 review: the balanced packer must not emit an all-separator pack
+    # (a wasted whole-DB dispatch) for an empty batch
+    assert build_query_packs([]) == []
