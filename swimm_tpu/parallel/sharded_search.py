@@ -288,21 +288,22 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     timer = PhaseTimer()
     t0 = time.perf_counter()
 
-    # Common padded profile length across the batch.
-    m_max = max(max(q.length for q in queries), 1)
-    m_pad = -(-m_max // config.m_multiple) * config.m_multiple
-    with timer.phase("profiles"):
-        qps = np.stack([_fixed_profile(q, config, m_pad) for q in queries])
-        qps = pad_queries(qps, mesh)
-    qps_dev = jax.device_put(
-        qps, NamedSharding(mesh, P("query", None, None)))
+    # Queries grouped by padded profile length (r2): one sharded dispatch
+    # per m_pad group, like the fused serving path — padding every query
+    # to the batch MAX wasted ~30-40% of the rows on mixed 100-500aa
+    # batches. Groups share the device-resident tile shards.
+    mm = config.m_multiple
+    groups: dict = {}
+    for pos, q in enumerate(queries):
+        m_pad = -(-max(q.length, 1) // mm) * mm
+        groups.setdefault(m_pad, []).append(pos)
 
     Q = len(queries)
     precision = ("f32" if config.precision in ("adaptive", "ladder")
                  else config.precision)
-    # whole-DB single dispatch: per-shard ragged kernel + collective
-    # candidate gather (BASELINE config 4); long queries route through
-    # the ragged long-query kernel inside the same shard_map
+    # whole-DB per-shard ragged kernel + collective candidate gather
+    # (BASELINE config 4); long queries route through the ragged
+    # long-query kernel inside the same shard_map
     with timer.phase("h2d"):
         if tile_shards is None:
             tile_shards = build_tile_shards(packed, mesh)
@@ -310,27 +311,45 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     kwargs = dict(mesh=mesh, n_rows_local=R_loc, gap_open=config.gap_open,
                   gap_extend=config.gap_extend, backend=backend,
                   k=topk_per_shard, precision=precision)
-    if measure_merge:
-        with timer.phase("score"):
-            lv, li = sharded_tiles_local_topk(
-                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
-                **kwargs)
-            jax.block_until_ready((lv, li))
-        with timer.phase("merge"):
-            vals, idx = merge_candidates(lv, li, mesh=mesh)
-            jax.block_until_ready((vals, idx))
-        with timer.phase("d2h"):
-            all_v = _device_to_host(vals)[:Q]
-            all_i = _device_to_host(idx)[:Q]
-    else:
-        with timer.phase("score+merge"):
-            vals, idx = sharded_tiles_topk(
-                tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
-                **kwargs)
-            # explicit sync so the score+merge timer is honest even if
-            # the host conversion is ever refactored away (VERDICT r1 #7)
-            all_v = _device_to_host(vals)[:Q]
-            all_i = _device_to_host(idx)[:Q]
+
+    all_v = [None] * Q
+    all_i = [None] * Q
+    padded_rows = 0
+    pending = []
+    for m_pad, positions in sorted(groups.items()):
+        with timer.phase("profiles"):
+            qps = np.stack([_fixed_profile(queries[p], config, m_pad)
+                            for p in positions])
+            qps = pad_queries(qps, mesh)
+        qps_dev = jax.device_put(
+            qps, NamedSharding(mesh, P("query", None, None)))
+        padded_rows += m_pad * qps.shape[0]
+        if measure_merge:
+            with timer.phase("score"):
+                lv, li = sharded_tiles_local_topk(
+                    tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                    **kwargs)
+                jax.block_until_ready((lv, li))
+            with timer.phase("merge"):
+                vals, idx = merge_candidates(lv, li, mesh=mesh)
+                jax.block_until_ready((vals, idx))
+            pending.append((positions, vals, idx))
+        else:
+            with timer.phase("score+merge"):
+                vals, idx = sharded_tiles_topk(
+                    tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                    **kwargs)
+                pending.append((positions, vals, idx))
+    drain_phase = "d2h" if measure_merge else "score+merge"
+    with timer.phase(drain_phase):
+        for positions, vals, idx in pending:
+            # explicit sync so the timers are honest even if the host
+            # conversion is ever refactored away (VERDICT r1 #7)
+            gv = _device_to_host(vals)
+            gi = _device_to_host(idx)
+            for row, p in enumerate(positions):
+                all_v[p] = gv[row]
+                all_i[p] = gi[row]
     # the dispatched work includes each shard's PAD-tile padding
     lane_positions = int(np.prod(tiles_all.shape))
 
@@ -352,7 +371,7 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     total_q = sum(q.length for q in queries)
     # honest padded accounting: shard-padded lane positions x the padded
     # query rows actually dispatched (incl. the query-axis pad to Qp)
-    padded = lane_positions * m_pad * qps.shape[0]
+    padded = lane_positions * padded_rows
     metrics = SearchMetrics(
         cells=int(packed.total_residues) * total_q,
         padded_cells=padded,
