@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("-o", "--output", required=True, help="output DB directory")
     pp.add_argument("--lanes", type=int, default=128,
                     help="db sequences per vector block (V)")
+    pp.add_argument("--resume", action="store_true",
+                    help="reuse an existing completed pack at the output "
+                         "directory if it matches this input (SURVEY.md "
+                         "6.4: the packed DB is a cached, versioned input)")
 
     se = sub.add_parser("search", help="search queries against a packed DB")
     se.add_argument("-d", "--db", required=True, help="packed DB directory")
@@ -73,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--topk-per-shard", type=int, default=256,
                     help="candidates gathered per data shard before the "
                          "collective merge (--sharded only)")
+    se.add_argument("--query-axis", type=int, default=1,
+                    help="mesh 'query' axis size: devices split into a "
+                         "(data, query) grid (--sharded only)")
     se.add_argument("--align", action="store_true",
                     help="host-side traceback: print a BLAST-style "
                          "alignment for every reported hit (extension — "
@@ -137,7 +144,8 @@ def _run(args) -> int:
 
     if args.command == "preprocess":
         from swimm_tpu.db import build_db
-        packed = build_db(args.input, args.output, V=args.lanes)
+        packed = build_db(args.input, args.output, V=args.lanes,
+                          resume=args.resume)
         print(f"packed {packed.n_seqs} sequences "
               f"({packed.total_residues} residues) into "
               f"{len(packed.chunks)} chunks at {args.output}")
@@ -198,9 +206,11 @@ def _run(args) -> int:
             prof = jax.profiler.trace(args.profile_dir)
         with prof:
             if args.sharded:
+                from swimm_tpu.parallel.mesh import make_mesh
                 from swimm_tpu.parallel.sharded_search import sharded_search
                 results, metrics = sharded_search(
                     packed, queries, config,
+                    mesh=make_mesh(query_axis=args.query_axis),
                     topk_per_shard=args.topk_per_shard)
             else:
                 results, metrics = search(packed, queries, config)

@@ -134,3 +134,9 @@ def test_stream_window_smaller_than_block_is_friendly(small_world):
     with pytest.raises(ValueError, match="window_tiles"):
         score_db_streaming(packed, queries[0],
                            SearchConfig(backend="xla", window_tiles=1))
+
+
+def test_empty_query_batch(small_world):
+    recs, _queries, packed = small_world
+    results, metrics = search(packed, [], SearchConfig(backend="xla"))
+    assert results == [] and metrics.n_queries == 0

@@ -96,3 +96,10 @@ def test_split_score_merge_matches_fused(world):
                [(h.score, h.sorted_idx) for h in r2.hits]
     assert "merge" in metrics.timers and "score" in metrics.timers
     assert metrics.timers["merge"] > 0
+
+
+def test_sharded_empty_query_batch(world):
+    packed, _queries, cfg, _serial = world
+    mesh = make_mesh(4)
+    results, metrics = sharded_search(packed, [], cfg, mesh=mesh)
+    assert results == [] and metrics.n_queries == 0
