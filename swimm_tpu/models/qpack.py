@@ -49,8 +49,9 @@ SEP_SCORE = -(1 << 17)       # separator profile value. Only the MAGNITUDE
 # rounding; do NOT rely on the separator round-tripping exactly.
 PACK_BUCKETS = tuple(range(64, 1025, 64))    # fixed compiled pack lengths
 # (multiples of 64 up to 1024: <= 16 kernel shapes ever, ~1% mean roundup
-# waste with the balanced packer below; 1024 measures fastest per cell on
-# v5e — larger state slows ~10%, smaller amortizes worse)
+# waste with the balanced packer below. r2 slope-method sweep: per-cell
+# rate is FLAT across m=128-1024 (185-198 padded GCUPS) and only drops at
+# m=2048 (149), so the 1024 cap costs nothing and bounds VMEM state)
 
 
 @dataclass
