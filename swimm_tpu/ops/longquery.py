@@ -72,10 +72,11 @@ def _dp_long_steps(db_ref, qpt_ref, ramp, delta, hbot_in_ref, gcar_in_ref,
 
     h = h_ref[:]
     e = e_ref[:]
-    smax = smax_ref[:]
     hprev = hprev_ref[0:1, :].astype(dtype)              # (1, Vk)
     hbot_rows = []
     gcar_rows = []
+    colmax = None
+    SMAX_MERGE = 8
     s_f32 = score_at(0)
     for j in range(jt_steps):
         s = s_f32.astype(dtype)
@@ -89,19 +90,31 @@ def _dp_long_steps(db_ref, qpt_ref, ramp, delta, hbot_in_ref, gcar_in_ref,
         ht = jnp.maximum(jnp.maximum(hd + s, e), ramp)
 
         gadj = gcar_in_ref[0, j, :].astype(dtype)[None, :] - delta  # (1, Vk)
-        f = jnp.maximum(_excl_cummax_rows(ht, neg), gadj) + c1
+        cm = _excl_cummax_rows(ht, neg)
+        f = jnp.maximum(cm, gadj) + c1
         h = jnp.maximum(ht, f)
-        smax = jnp.maximum(smax, h)
+        # Smax tracks ht, not h, with batched merges (r2; mirrors
+        # pallas_scorer._dp_steps): any F contribution to H is dominated
+        # by an earlier Ht — possibly in a PREVIOUS query tile, where that
+        # tile's smax already tracked it and score_tiles_long maxes the
+        # per-tile results. Exact by the no-alignment-ends-in-a-gap
+        # argument applied across the tile cut.
+        colmax = ht if colmax is None else jnp.maximum(colmax, ht)
+        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
+            smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
+            colmax = None
 
-        # carries for the NEXT query tile
+        # carries for the NEXT query tile. The inclusive column max of ht
+        # falls out of the cummax tree already computed for F (exclusive
+        # prefix at the last row, maxed with the last ht row) — no extra
+        # full reduction (r2: was jnp.max(ht, axis=0), ~1 op/cell).
+        col_inc = jnp.maximum(cm[m - 1:m, :], ht[m - 1:m, :])
         hbot_rows.append(h[m - 1:m, :] - ramp[m - 1, 0])     # real H bottom
-        gcar_rows.append(jnp.maximum(jnp.max(ht, axis=0, keepdims=True),
-                                     gadj) + delta)          # global space
+        gcar_rows.append(jnp.maximum(col_inc, gadj) + delta)  # global space
         hprev = hbot_in_ref[0, j, :].astype(dtype)[None, :]  # for col j+1
 
     h_ref[:] = h
     e_ref[:] = e
-    smax_ref[:] = smax
     # scratch is f32 (exact to 2^24 for any real score) regardless of dtype
     hprev_ref[:] = jnp.broadcast_to(hprev, hprev_ref.shape
                                     ).astype(jnp.float32)
