@@ -202,8 +202,10 @@ def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
             # lanes that touch the ceiling are flagged for recompute at the
             # next wider tier (SURVEY.md section 4.4 adaptive precision).
             # Sub-ceiling lanes are never clamped anywhere in their column,
-            # so their ht-tracked scores stay exact; saturated lanes still
-            # reach >= ceiling in Smax and get flagged.
+            # so their ht-tracked scores stay exact; saturated lanes reach
+            # >= ceiling in the ht-tracked Smax (overshoot <= max diag
+            # score) and the block-end write caps the report at `ceiling`
+            # exactly (_write; r2 fuzz finding).
             h = jnp.minimum(h, ramp + ceiling)
         if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
             smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
@@ -239,6 +241,13 @@ def _dp_kernel(qpt_ref, ramp_ref, db_ref, out_ref, h_ref, e_ref, smax_ref, *,
     @pl.when(jt == n_jt - 1)
     def _write():
         score = jnp.max(smax_ref[:] - ramp, axis=0)      # un-ramp, (Vk,)
+        if ceiling is not None:
+            # Smax tracks PRE-clamp ht (the h clamp keeps downstream state
+            # bounded), so saturated lanes can overshoot by up to the max
+            # substitution score; cap the REPORT so a saturated lane
+            # returns exactly `ceiling` — bit-parity with the xla scorer's
+            # ceilinged pass (r2 fuzz finding, benchmarks/fuzz_tpu.py)
+            score = jnp.minimum(score, ceiling)
         mx = score.astype(jnp.int32)
         out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
 
@@ -316,6 +325,8 @@ def _dp_ragged_kernel(outrow_ref, qpt_ref, ramp_ref, db_ref, out_ref,
     @pl.when(is_last)
     def _write():
         score = jnp.max(smax_ref[:] - ramp, axis=0)      # un-ramp, (Vk,)
+        if ceiling is not None:
+            score = jnp.minimum(score, ceiling)   # see _dp_kernel._write
         mx = score.astype(jnp.int32)
         out_ref[0, :, :] = jnp.broadcast_to(mx[None, :], out_ref.shape[1:])
 

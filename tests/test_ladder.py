@@ -161,3 +161,26 @@ def test_search_ladder_batch_equals_serial(tmp_path):
     for r1, r2 in zip(exact, ladder_r):
         assert [(h.score, h.sorted_idx) for h in r1.hits] == \
                [(h.score, h.sorted_idx) for h in r2.hits]
+
+
+def test_pallas_ceiling_reports_exactly_ceiling(rng):
+    # r2 fuzz finding (benchmarks/fuzz_tpu.py): the pallas ceilinged pass
+    # tracked PRE-clamp ht in Smax, so saturated lanes reported up to
+    # ceiling + max_diag (e.g. 140 @ 127) — diverging from the xla
+    # scorer. Saturated lanes must report EXACTLY the ceiling; unsaturated
+    # lanes stay exact.
+    from swimm_tpu.ops import pallas_scorer
+    q, qp, codes = _world(rng)
+    exact = np.asarray(xla_scorer.score_chunk(jnp.asarray(codes), qp, 10, 2))
+    clamped = np.asarray(pallas_scorer.score_chunk(
+        jnp.asarray(codes), qp, 10, 2, ceiling=INT8_CEIL, interpret=True))
+    np.testing.assert_array_equal(clamped, np.minimum(exact, INT8_CEIL))
+    # and via the ragged whole-DB kernel path too
+    B, L, V = codes.shape
+    tiles = codes.reshape(-1, 32, V) if L % 32 == 0 else None
+    if tiles is not None:
+        outrow = np.repeat(np.arange(B, dtype=np.int32), L // 32)
+        ragged = np.asarray(pallas_scorer.score_tiles(
+            jnp.asarray(tiles), jnp.asarray(outrow), B, qp, 10, 2,
+            ceiling=INT8_CEIL, interpret=True))
+        np.testing.assert_array_equal(ragged, np.minimum(exact, INT8_CEIL))
