@@ -23,10 +23,63 @@ MATRICES = ["BLOSUM45", "BLOSUM50", "BLOSUM62", "BLOSUM80", "BLOSUM90",
             "PAM30", "PAM70", "PAM250"]
 
 
+def fuzz_packed(rounds: int, seed: int) -> int:
+    """Packed-serving fuzz: random batch compositions served through the
+    PACKED posture must rank bit-identically to the per-length posture
+    (hardest invariants in the codebase: separator isolation + segmented-F
+    domination + balanced LPT packing), plus C-oracle spot checks."""
+    import tempfile
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.matrices import get_matrix
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.ops import cref
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    rng = np.random.default_rng(seed)
+    base_queries = synth_queries(8, [30, 80, 150, 300, 500, 700, 900, 1000],
+                                 seed=seed + 1)
+    recs = synth_db(3_000, seed=seed + 2,
+                    queries=[q.codes for q in base_queries],
+                    homolog_frac=0.01)
+    failures = 0
+    with tempfile.TemporaryDirectory() as td:
+        packed = build_db(recs, td, V=128)
+        for r in range(rounds):
+            nq = int(rng.integers(1, 16))
+            qlens = [int(rng.integers(1, 1009)) for _ in range(nq)]
+            queries = synth_queries(nq, qlens, seed=seed + 100 + r)
+            a, _ = search(packed, queries,
+                          SearchConfig(top_k=8, query_pack=False))
+            b, _ = search(packed, queries,
+                          SearchConfig(top_k=8, query_pack=True))
+            ok = all([(h.score, h.sorted_idx) for h in x.hits]
+                     == [(h.score, h.sorted_idx) for h in y.hits]
+                     for x, y in zip(a, b))
+            # oracle spot: top hit of one random query
+            qi = int(rng.integers(nq))
+            if a[qi].hits:
+                h0 = a[qi].hits[0]
+                exp = int(cref.sw_score_many(
+                    queries[qi].codes, [packed.seq_codes(h0.sorted_idx)],
+                    get_matrix("BLOSUM62"), 10, 2)[0])
+                ok = ok and exp == h0.score
+            print(json.dumps({"round": r, "nq": nq,
+                              "qlens": qlens[:6], "ok": bool(ok)}),
+                  flush=True)
+            if not ok:
+                failures += 1
+    print(json.dumps({"fuzz_packed": "PASS" if not failures else "FAIL",
+                      "rounds": rounds, "failures": failures}))
+    return 1 if failures else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--packed", action="store_true",
+                    help="fuzz the packed serving posture vs per-length")
     args = ap.parse_args()
 
     import jax
@@ -35,6 +88,9 @@ def main() -> int:
         "jax_compilation_cache_dir",
         _os.path.join(_os.path.dirname(_os.path.dirname(
             _os.path.abspath(__file__))), ".jax_cache"))
+
+    if args.packed:
+        return fuzz_packed(args.rounds, args.seed)
 
     from swimm_tpu.alphabet import PAD_CODE
     from swimm_tpu.matrices import get_matrix
