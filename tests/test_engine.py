@@ -140,3 +140,15 @@ def test_empty_query_batch(small_world):
     recs, _queries, packed = small_world
     results, metrics = search(packed, [], SearchConfig(backend="xla"))
     assert results == [] and metrics.n_queries == 0
+
+
+def test_config_validates_gap_penalties():
+    # gap_open >= 0 is load-bearing for the lazy-F exactness argument; a
+    # negative value must be a config error, not silently-wrong scores
+    pytest = __import__("pytest")
+    from swimm_tpu.models.engine import SearchConfig
+    with pytest.raises(ValueError, match="gap_open"):
+        SearchConfig(gap_open=-1)
+    with pytest.raises(ValueError, match="gap_extend"):
+        SearchConfig(gap_extend=0)
+    SearchConfig(gap_open=0, gap_extend=1)   # boundary values are legal
