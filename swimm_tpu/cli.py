@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--query-axis", type=int, default=1,
                     help="mesh 'query' axis size: devices split into a "
                          "(data, query) grid (--sharded only)")
+    se.add_argument("--selfcheck", action="store_true",
+                    help="re-score every reported hit with the built-in "
+                         "C reference scorer and fail loudly on any "
+                         "mismatch (bit-exactness audit; costs O(top_k) "
+                         "host-side alignments per query)")
     se.add_argument("--align", action="store_true",
                     help="host-side traceback: print a BLAST-style "
                          "alignment for every reported hit (extension — "
@@ -214,6 +219,23 @@ def _run(args) -> int:
                     topk_per_shard=args.topk_per_shard)
             else:
                 results, metrics = search(packed, queries, config)
+        if args.selfcheck:
+            from swimm_tpu.matrices import get_matrix
+            from swimm_tpu.ops import cref
+            sub = get_matrix(args.matrix)
+            n_checked = 0
+            for q, r in zip(queries, results):
+                seqs = [packed.seq_codes(h.sorted_idx) for h in r.hits]
+                exp = cref.sw_score_many(q.codes, seqs, sub,
+                                         args.gap_open, args.gap_extend)
+                got = [h.score for h in r.hits]
+                if list(exp) != got:
+                    raise AssertionError(
+                        f"selfcheck FAILED for {r.query_title!r}: "
+                        f"device {got} vs C oracle {list(exp)}")
+                n_checked += len(got)
+            print(f"selfcheck: PASS ({n_checked} hit scores verified "
+                  "against the C reference scorer)", file=sys.stderr)
         aligns = None
         if args.align:
             from swimm_tpu.ops.traceback import sw_align

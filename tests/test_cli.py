@@ -65,3 +65,20 @@ def test_cli_info(tmp_path, capsys):
     assert main(["info", "-d", str(dbdir)]) == 0
     out = capsys.readouterr().out
     assert "sequences       60" in out and "tile stream" in out
+
+
+def test_cli_selfcheck(tmp_path):
+    from swimm_tpu.cli import main
+    from swimm_tpu.db import build_db
+    from swimm_tpu.fasta import write_fasta
+    from swimm_tpu.utils.synth import synth_db, synth_queries
+
+    queries = synth_queries(1, [50], seed=61)
+    recs = synth_db(50, seed=62, median_len=60, sigma=0.3, max_len=120,
+                    queries=[queries[0].codes], homolog_frac=0.1)
+    write_fasta(tmp_path / "db.fasta", recs)
+    write_fasta(tmp_path / "q.fasta", queries)
+    build_db(tmp_path / "db.fasta", tmp_path / "db", V=8)
+    assert main(["search", "-d", str(tmp_path / "db"),
+                 "-q", str(tmp_path / "q.fasta"),
+                 "--backend", "xla", "-r", "3", "--selfcheck"]) == 0
