@@ -128,16 +128,18 @@ def main(argv=None) -> int:
     # KeyError etc.) propagate with a full traceback; SWTPU_DEBUG=1 makes
     # even the friendly classes re-raise for debugging.
     import os
+    debug = os.environ.get("SWTPU_DEBUG", "") not in ("", "0", "false",
+                                                      "False", "no")
     try:
         return _run(build_parser().parse_args(argv))
     except FileNotFoundError as e:
-        if os.environ.get("SWTPU_DEBUG"):
+        if debug:
             raise
         print(f"swtpu: error: file not found: {e.filename or e}",
               file=sys.stderr)
         return 2
     except ValueError as e:
-        if os.environ.get("SWTPU_DEBUG"):
+        if debug:
             raise
         msg = e.args[0] if e.args else e
         print(f"swtpu: error: {msg}", file=sys.stderr)

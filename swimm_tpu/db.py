@@ -38,6 +38,24 @@ from swimm_tpu.fasta import iter_fasta
 
 FORMAT_VERSION = 1
 
+
+def _input_digest(code_chunks, lengths, titles) -> str:
+    """Content fingerprint of a parsed FASTA input (codes + lengths +
+    titles), stored in the manifest so resume=True can prove the existing
+    pack matches THIS input — the old (n_seqs, V, total_residues) check
+    accepted any same-shape edit, silently serving a stale database
+    (r2 review finding). ~0.4 s/GB; the input is already parsed when
+    resume is evaluated, so this adds no I/O."""
+    import hashlib
+    h = hashlib.sha256()
+    for c in code_chunks:
+        h.update(np.ascontiguousarray(c).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(lengths, np.int64)).tobytes())
+    for t in titles:
+        h.update(t.encode("utf-8", "replace"))
+        h.update(b"\0")
+    return h.hexdigest()
+
 # Length quantization: (max_len, multiple). The ragged tile kernel made
 # chunk-shape diversity free (one compiled shape per DB regardless), so
 # lengths quantize to the kernel's 32-step tile granularity everywhere —
@@ -211,13 +229,16 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False,
         # pass below iterates twice and records is indexed by sort order
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    digest = None
     if resume and (out / "manifest.json").exists():
         try:
             existing = load_db(out)
+            digest = _input_digest((r.codes for r in records),
+                                   [r.length for r in records],
+                                   (r.title for r in records))
             if (existing.n_seqs == len(records)
                     and existing.manifest["V"] == V
-                    and existing.total_residues
-                    == int(sum(r.length for r in records))):
+                    and existing.manifest.get("input_digest") == digest):
                 return existing
         except Exception:
             pass  # fall through to a clean rebuild
@@ -269,6 +290,10 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False,
         for i in order:
             fh.write(records[i].title.replace("\n", " ") + "\n")
 
+    if digest is None:
+        digest = _input_digest((r.codes for r in records),
+                               [r.length for r in records],
+                               (r.title for r in records))
     manifest = {
         "format_version": FORMAT_VERSION,
         "n_seqs": n,
@@ -277,6 +302,7 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False,
         "n_chunks": len(chunk_descs),
         "chunks": chunk_descs,
         "len_quanta": [list(t) for t in _LEN_QUANTA],
+        "input_digest": digest,
     }
     with open(out / "manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -315,14 +341,16 @@ def _build_db_native(fasta_path, out_dir, V: int, resume: bool) -> PackedDb:
 
     codes_blob, offsets, lengths, titles_all = native.parse_fasta(fasta_path)
     n = len(lengths)
+    digest = _input_digest([codes_blob], lengths, titles_all)
     if resume and (out / "manifest.json").exists():
         try:
             existing = load_db(out)
             # same validation as the Python path: a stale pack of a
-            # DIFFERENT input must never be silently reused
+            # DIFFERENT input must never be silently reused — the digest
+            # covers residue content + lengths + titles
             if (existing.manifest["V"] == V
                     and existing.n_seqs == n
-                    and existing.total_residues == int(lengths.sum())):
+                    and existing.manifest.get("input_digest") == digest):
                 return existing
         except Exception:
             pass
@@ -380,6 +408,7 @@ def _build_db_native(fasta_path, out_dir, V: int, resume: bool) -> PackedDb:
         "n_chunks": len(chunk_descs),
         "chunks": chunk_descs,
         "len_quanta": [list(t) for t in _LEN_QUANTA],
+        "input_digest": digest,
     }
     with open(out / "manifest.json", "w") as fh:
         json.dump(manifest, fh, indent=1)

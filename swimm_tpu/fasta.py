@@ -36,10 +36,16 @@ def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
     """Stream records from a FASTA file (path, or text handle)."""
     own = False
     if isinstance(path_or_handle, (str, os.PathLike)):
-        handle = open(path_or_handle, "r")
+        # newline="\n": disable universal-newline translation so a lone
+        # '\r' is NOT a line break — it stays in the line and encodes to X
+        # through the LUT, exactly like the native parser (csrc/swpack.c
+        # splits on '\n' only); with default text mode the two encoders
+        # could disagree on CR-only files (r2 review finding)
+        handle = open(path_or_handle, "r", newline="\n")
         own = True
     else:
-        handle = path_or_handle
+        handle = path_or_handle  # caller-owned handle: caller's newline
+        # policy applies; pass a newline="\n" handle for native parity
     try:
         title = None
         chunks: list[str] = []

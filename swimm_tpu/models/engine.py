@@ -246,11 +246,7 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
         pending.append((g0, n_w, res))
     while pending:
         drain()
-    mask, lane2sorted = packed.lane_maps()
-    flat = scores.reshape(-1)
-    out = np.zeros(packed.n_seqs, dtype=np.int32)
-    out[lane2sorted[mask]] = flat[mask]
-    return out
+    return scatter_lane_scores(packed, scores.reshape(-1))
 
 
 def _score_db_streaming_long(packed: PackedDb, qp, config: SearchConfig):
@@ -290,11 +286,7 @@ def score_db(packed: PackedDb, query: FastaRecord,
                 packed, qp, query.length, config.gap_open,
                 config.gap_extend, matrix=config.matrix,
                 dev_tiles=dt, dev_outrow=do)
-            mask, lane2sorted = packed.lane_maps()
-            flat = scores2d.reshape(-1)
-            out = np.zeros(packed.n_seqs, dtype=np.int32)
-            out[lane2sorted[mask]] = flat[mask]
-            return out
+            return scatter_lane_scores(packed, scores2d.reshape(-1))
     scorer = _chunk_scorer(config)
     out = np.zeros(packed.n_seqs, dtype=np.int32)
     dev = device_chunks(packed)
@@ -326,18 +318,37 @@ def device_tiles(packed: PackedDb):
     return cached
 
 
-def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
-                       mode: str = "chunks"):
-    """Build a jitted whole-DB search step: ONE device dispatch scores every
-    chunk and reduces to the global top-k on device; only k (score, index)
-    pairs come back to the host.
+def group_by_m_pad(queries, m_multiple: int) -> dict:
+    """{padded profile length: [positions]} — the shape-bucketing shared
+    by the fused, ladder, and sharded drivers (one dispatch per group)."""
+    groups: dict = {}
+    for pos, q in enumerate(queries):
+        m_pad = -(-max(q.length, 1) // m_multiple) * m_multiple
+        groups.setdefault(m_pad, []).append(pos)
+    return groups
 
-    This is the serving fast path: with the DB resident in HBM, per-query
-    work is a single dispatch regardless of chunk count. On the pallas
-    backend the whole DB is ONE ragged-grid kernel call (score_tiles): a
-    single compiled shape per database, where the per-chunk form lowers one
-    kernel per chunk shape (~20 shapes for a Swiss-Prot-like length mix —
-    measured ~40s of per-process trace/lower time and as many dispatches).
+
+def scatter_lane_scores(packed: PackedDb, flat: np.ndarray) -> np.ndarray:
+    """Map flat lane-order scores (n_rows*V,) to sorted-db order
+    (n_seqs,), dropping pad lanes."""
+    mask, lane2sorted = packed.lane_maps()
+    out = np.zeros(packed.n_seqs, dtype=np.int32)
+    out[lane2sorted[mask]] = flat[mask]
+    return out
+
+
+def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
+                       mode: str):
+    """Build a jitted whole-DB search step: ONE device dispatch scores the
+    whole database for a query group and reduces to the global top-k on
+    device; only k (score, index) pairs come back to the host.
+
+    This is the serving fast path: with the DB resident in HBM as the
+    ragged tile stream, per-group work is a single dispatch with a single
+    compiled shape per database — mode picks the scorer: 'tiles' (pallas),
+    'tiles_long' (pallas tiled long-query), 'tiles_xla' (portable ragged
+    scan; one scan for the whole DB instead of one per chunk shape,
+    ADVICE r1).
 
     Pad lanes are masked to -1 on device so the (score desc, index asc)
     order matches top_k_hits exactly (lax.top_k breaks ties by lowest
@@ -350,50 +361,36 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     if hit is not None:
         return hit
 
-    scorer = _chunk_scorer(config)
     # valid-lane mask + lane -> sorted-db index over the flat lane order
     mask, lane2sorted = packed.lane_maps()
     total = mask.shape[0]
     mask_dev = jnp.asarray(mask)
     lane2sorted_dev = jnp.asarray(lane2sorted)
 
-    if mode in ("tiles", "tiles_long", "tiles_xla"):
-        from swimm_tpu.ops import longquery, pallas_scorer, xla_scorer
-        _, _, n_rows = packed.flat_tiles()
-        prec = "f32" if config.precision == "adaptive" else config.precision
+    from swimm_tpu.ops import longquery, pallas_scorer, xla_scorer
+    _, _, n_rows = packed.flat_tiles()
+    prec = "f32" if config.precision == "adaptive" else config.precision
 
     @jax.jit
-    def step(qps, *db_arrays):
-        # qps: (Q, 32, m) — the whole query batch in one dispatch (query
+    def step(qps, tiles, outrow):
+        # qps: (Q, 32, m) — the whole query group in one dispatch (query
         # batching, SURVEY.md section 4.5 deliberate divergence); Q and m
         # are shapes, so jit re-specializes per (Q, m_pad) combination.
-        # db_arrays: (tiles, outrow) on the ragged path, else per-chunk
-        # code arrays.
         def one(qp):
             if mode == "tiles":
-                tiles, outrow = db_arrays
                 flat = pallas_scorer.score_tiles(
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend,
                     precision=prec).reshape(-1)
             elif mode == "tiles_long":
-                tiles, outrow = db_arrays
                 flat = longquery.score_tiles_long(
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend,
                     precision=prec).reshape(-1)
-            elif mode == "tiles_xla":
-                # one ragged-stream scan for the whole DB: the XLA backend
-                # would otherwise trace one scan per chunk SHAPE, and the
-                # flat 32-residue length quanta make chunk-shape count
-                # scale with length diversity (ADVICE r1)
-                tiles, outrow = db_arrays
+            else:
                 flat = xla_scorer.score_tiles(
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend).reshape(-1)
-            else:
-                flat = jnp.concatenate(
-                    [scorer(c, qp).reshape(-1) for c in db_arrays])
             scores = jnp.where(mask_dev, flat, -1)
             return jax.lax.top_k(scores, min(k, total))
 
@@ -480,11 +477,8 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
             return _search_packed(packed, queries, config)
 
     # group queries by padded profile length (shape bucketing)
-    groups: dict = {}
     mm = config.m_multiple
-    for pos, q in enumerate(queries):
-        m_pad = -(-max(q.length, 1) // mm) * mm
-        groups.setdefault(m_pad, []).append(pos)
+    groups = group_by_m_pad(queries, mm)
     out = [None] * len(queries)
     pending = []
     padded_rows = 0
@@ -495,8 +489,7 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
             mode = "tiles"
         else:
             mode = "tiles_long"   # ragged long-query kernel, same DB tiles
-        dev = (device_chunks(packed) if mode == "chunks"
-               else device_tiles(packed)[:2])
+        dev = device_tiles(packed)[:2]
         step = _fused_search_step(packed, config, config.top_k, mode)
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
@@ -532,18 +525,15 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
     from swimm_tpu.ops import ladder, pallas_scorer
     backend = config.resolve_backend()
     mm = config.m_multiple
-    groups: dict = {}
+    groups = group_by_m_pad(queries, mm)
     long_pos = []
-    for pos, q in enumerate(queries):
-        m_pad = -(-max(q.length, 1) // mm) * mm
-        if backend == "pallas" and m_pad > pallas_scorer.max_query_pad():
-            long_pos.append(pos)
-        else:
-            groups.setdefault(m_pad, []).append(pos)
+    if backend == "pallas":
+        for m_pad in [m for m in groups
+                      if m > pallas_scorer.max_query_pad()]:
+            long_pos.extend(groups.pop(m_pad))
 
     out = [None] * len(queries)
     padded_rows = 0
-    mask, lane2sorted = packed.lane_maps()
     dt, do, _ = device_tiles(packed)
     for m_pad, positions in groups.items():
         qps = np.stack([
@@ -555,9 +545,7 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
             backend=backend, dev_tiles=dt, dev_outrow=do)
         padded_rows += m_pad * len(positions)
         for row, p in enumerate(positions):
-            flat = scores[row].reshape(-1)
-            svec = np.zeros(packed.n_seqs, dtype=np.int32)
-            svec[lane2sorted[mask]] = flat[mask]
+            svec = scatter_lane_scores(packed, scores[row].reshape(-1))
             out[p] = top_k_hits(packed, svec, config.top_k)
     for p in long_pos:
         svec = score_db(packed, queries[p], config)

@@ -83,7 +83,9 @@ def _rows_needed(length: int) -> int:
 def build_query_packs(queries, matrix="BLOSUM62",
                       buckets=PACK_BUCKETS) -> list:
     """Pack query code arrays (list of (codes, caller_pos) or FastaRecord
-    order) into QueryPacks using first-fit over fixed bucket sizes.
+    order) into QueryPacks: balanced LPT assignment (longest-first into
+    the least-filled of ceil(total/cap) bins) rounded up to fixed bucket
+    sizes.
 
     Queries longer than buckets[-1] - SUB must go through the long-query
     path instead; passing one raises ValueError.

@@ -37,6 +37,7 @@ LONG_TILE_M = 1024  # query rows per tile: fits VMEM with the carry
 # streams and boundary scratch (2048 OOMs, measured)
 
 from swimm_tpu.ops.pallas_scorer import (LANE, _excl_cummax_rows, _mm_dtype,
+                                         check_gaps,
                                          _negval, _resolve_interpret,
                                          pick_jt)
 
@@ -315,6 +316,7 @@ def score_tiles_long(tiles, outrow, n_rows: int, qp, gap_open: int,
 
     Returns (n_rows, V) int32 exact scores.
     """
+    check_gaps(gap_open, gap_extend)
     T, jt, V = tiles.shape
     m = qp.shape[1]
     tile_m = tile_m or LONG_TILE_M
@@ -348,6 +350,7 @@ def score_chunk_long(codes, qp, gap_open: int, gap_extend: int,
     Args/returns as pallas_scorer.score_chunk; qp may have any m (padded
     internally to a multiple of tile_m).
     """
+    check_gaps(gap_open, gap_extend)
     B, L, V = codes.shape
     m = qp.shape[1]
     tile_m = tile_m or LONG_TILE_M

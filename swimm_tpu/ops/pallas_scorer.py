@@ -68,6 +68,19 @@ def _negval(dtype):
     return -(1 << 28) if dtype == jnp.int32 else -3e8
 
 
+def check_gaps(gap_open: int, gap_extend: int) -> None:
+    """gap_open >= 0 and gap_extend >= 1 are LOAD-BEARING for exactness
+    (the two-pass F recovery merges open/extend chains via goe >= ge; the
+    ramp needs strictly increasing offsets). Called at trace time from
+    every scorer entry point (gaps are static args, so this costs nothing
+    after the first trace) so raw ops-level callers cannot get
+    silently-wrong scores (r2 review finding)."""
+    if gap_open < 0:
+        raise ValueError(f"gap_open must be >= 0 (got {gap_open})")
+    if gap_extend < 1:
+        raise ValueError(f"gap_extend must be >= 1 (got {gap_extend})")
+
+
 def _resolve_interpret(flag):
     """None = auto: compiled Mosaic on TPU, interpreter elsewhere (pallas
     has no compiled CPU lowering). Explicit True/False is honored."""
@@ -354,6 +367,7 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
 
     Returns: (n_rows, V) int32 exact local-alignment scores.
     """
+    check_gaps(gap_open, gap_extend)
     T, jt, V = tiles.shape
     assert jt == jt_steps
     m = qp.shape[1]
@@ -481,6 +495,7 @@ def score_tiles_packed(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
     ids, models/qpack.py), so entry.seg // 2 indexes its plane. Unused
     planes hold zeros.
     """
+    check_gaps(gap_open, gap_extend)
     T, jt, V = tiles.shape
     assert jt == jt_steps
     m = qp.shape[1]
@@ -572,6 +587,7 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
 
     Returns: (B, V) int32 exact local-alignment scores.
     """
+    check_gaps(gap_open, gap_extend)
     B, L, V = codes.shape
     m = qp.shape[1]
     if jt_steps is None:

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from swimm_tpu.alphabet import TABLE_CODES
+from swimm_tpu.ops.pallas_scorer import check_gaps
 
 NEG = -(1 << 28)  # plain int: a module-level device array would pin the
 # sharding/mesh of whichever context touched it first (breaks shard_map
@@ -83,6 +84,7 @@ def score_chunk(codes: jnp.ndarray, qp: jnp.ndarray,
     Returns:
       (n_blocks, V) int32 local-alignment scores (exact when ceiling=None).
     """
+    check_gaps(gap_open, gap_extend)
     B, L, V = codes.shape
     m = qp.shape[1]
     N = B * V
@@ -131,6 +133,7 @@ def score_tiles(tiles: jnp.ndarray, outrow: jnp.ndarray, n_rows: int,
 
     Returns (n_rows, V) int32 exact scores.
     """
+    check_gaps(gap_open, gap_extend)
     T, jt, V = tiles.shape
     m = qp.shape[1]
     goe = jnp.int32(gap_open + gap_extend)

@@ -292,11 +292,9 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     # per m_pad group, like the fused serving path — padding every query
     # to the batch MAX wasted ~30-40% of the rows on mixed 100-500aa
     # batches. Groups share the device-resident tile shards.
+    from swimm_tpu.models.engine import group_by_m_pad
     mm = config.m_multiple
-    groups: dict = {}
-    for pos, q in enumerate(queries):
-        m_pad = -(-max(q.length, 1) // mm) * mm
-        groups.setdefault(m_pad, []).append(pos)
+    groups = group_by_m_pad(queries, mm)
 
     Q = len(queries)
     precision = ("f32" if config.precision in ("adaptive", "ladder")

@@ -94,7 +94,9 @@ def synth_fasta_fast(path, n_seqs: int, seed: int = 0,
     n_hom = int(n_seqs * homolog_frac) if queries else 0
     hom_idx = (set(rng.choice(n_seqs, size=n_hom, replace=False).tolist())
                if n_hom else set())
-    chars = np.frombuffer(ALPHABET[:20].encode(), dtype="S1")
+    # full 24-symbol decode table: planted-homolog sources may carry
+    # ambiguity codes (B/Z/X/*, codes 20-23) that mutate() preserves
+    chars = np.frombuffer(ALPHABET.encode(), dtype="S1")
 
     total = 0
     BUF = 1 << 24                      # residues per vectorized draw

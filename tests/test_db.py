@@ -149,3 +149,31 @@ def test_native_parse_matches_python_exotic_whitespace(tmp_path):
         assert titles[i] == r.title
         np.testing.assert_array_equal(codes[offs[i]:offs[i] + lens[i]],
                                       r.codes)
+
+
+def test_resume_rejects_same_shape_different_content(tmp_path):
+    # r2 review: the old (n_seqs, V, total_residues) resume check accepted
+    # ANY same-shape edit; the manifest input digest must catch content
+    # changes (residue swaps between records keep both counts equal)
+    from swimm_tpu.fasta import FastaRecord
+    recs = synth_db(30, seed=70, median_len=40, sigma=0.3, max_len=80)
+    d = tmp_path / "db"
+    p1 = build_db(recs, d)
+    assert "input_digest" in p1.manifest
+    # swap residues between two records: same n_seqs, same lengths
+    a, b = recs[0].codes.copy(), recs[1].codes.copy()
+    n = min(len(a), len(b))
+    a[:n], b[:n] = recs[1].codes[:n], recs[0].codes[:n]
+    recs2 = list(recs)
+    recs2[0] = FastaRecord(recs[0].title, a)
+    recs2[1] = FastaRecord(recs[1].title, b)
+    p2 = build_db(recs2, d, resume=True)        # must REBUILD, not reuse
+    assert p2.manifest["input_digest"] != p1.manifest["input_digest"]
+    # unchanged input DOES reuse
+    p3 = build_db(recs2, d, resume=True)
+    assert p3.manifest["input_digest"] == p2.manifest["input_digest"]
+    # title-only rename also rebuilds
+    recs3 = list(recs2)
+    recs3[2] = FastaRecord("renamed", recs2[2].codes)
+    p4 = build_db(recs3, d, resume=True)
+    assert p4.titles != p2.titles
