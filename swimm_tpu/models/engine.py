@@ -65,13 +65,13 @@ class SearchConfig:
         # gap_open >= 0 is LOAD-BEARING for exactness: the two-pass F
         # recovery merges the open/extend chains via goe >= ge (the lazy-F
         # argument, ops/xla_scorer.py docstring) — a negative open would
-        # silently produce wrong scores, not an error. gap_extend >= 1
-        # keeps the ramped-space offsets strictly increasing.
+        # silently produce wrong scores, not an error. ge == 0 (flat gap
+        # cost) is legal; negative extend is not.
         if self.gap_open < 0:
             raise ValueError(f"gap_open must be >= 0 (got {self.gap_open})")
-        if self.gap_extend < 1:
+        if self.gap_extend < 0:
             raise ValueError(
-                f"gap_extend must be >= 1 (got {self.gap_extend})")
+                f"gap_extend must be >= 0 (got {self.gap_extend})")
         # the pallas kernels require the padded profile length to be a
         # multiple of the 8-row sublane group (ragged ramp math,
         # pallas_scorer SUB=8); validate here instead of failing deep

@@ -69,16 +69,18 @@ def _negval(dtype):
 
 
 def check_gaps(gap_open: int, gap_extend: int) -> None:
-    """gap_open >= 0 and gap_extend >= 1 are LOAD-BEARING for exactness
-    (the two-pass F recovery merges open/extend chains via goe >= ge; the
-    ramp needs strictly increasing offsets). Called at trace time from
+    """gap_open >= 0 and gap_extend >= 0 are LOAD-BEARING for exactness:
+    the two-pass F recovery merges the open/extend chains via goe >= ge
+    (the lazy-F argument), which holds iff gap_open >= 0; ge == 0 (flat
+    gap cost) is legal and covered by tests/test_qpack.py gap variants,
+    negative extend would flip the ramped space. Called at trace time from
     every scorer entry point (gaps are static args, so this costs nothing
     after the first trace) so raw ops-level callers cannot get
     silently-wrong scores (r2 review finding)."""
     if gap_open < 0:
         raise ValueError(f"gap_open must be >= 0 (got {gap_open})")
-    if gap_extend < 1:
-        raise ValueError(f"gap_extend must be >= 1 (got {gap_extend})")
+    if gap_extend < 0:
+        raise ValueError(f"gap_extend must be >= 0 (got {gap_extend})")
 
 
 def _resolve_interpret(flag):

@@ -150,5 +150,5 @@ def test_config_validates_gap_penalties():
     with pytest.raises(ValueError, match="gap_open"):
         SearchConfig(gap_open=-1)
     with pytest.raises(ValueError, match="gap_extend"):
-        SearchConfig(gap_extend=0)
-    SearchConfig(gap_open=0, gap_extend=1)   # boundary values are legal
+        SearchConfig(gap_extend=-1)
+    SearchConfig(gap_open=0, gap_extend=0)   # boundary values are legal
