@@ -105,7 +105,7 @@ def main() -> int:
         mat_name = MATRICES[int(rng.integers(len(MATRICES)))]
         mat = get_matrix(mat_name)
         go = int(rng.integers(0, 21))
-        ge = int(rng.integers(1, 9))
+        ge = int(rng.integers(0, 9))   # ge == 0 (flat gap cost) is legal
         # query length: mostly short-kernel range, sometimes long path
         if rng.random() < 0.25:
             qlen = int(rng.integers(2049, 4000))

@@ -103,3 +103,32 @@ def test_sharded_empty_query_batch(world):
     mesh = make_mesh(4)
     results, metrics = sharded_search(packed, [], cfg, mesh=mesh)
     assert results == [] and metrics.n_queries == 0
+
+
+def test_sharded_randomized_worlds():
+    # randomized differential sweep: random DB sizes (incl. fewer blocks
+    # than data shards), V widths, batch mixes, mesh shapes — sharded must
+    # rank exactly like the serial driver in every draw
+    import tempfile
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n_seqs = int(rng.integers(10, 400))
+        V = int(rng.choice([8, 16, 32]))
+        nq = int(rng.integers(1, 6))
+        qlens = [int(rng.integers(5, 200)) for _ in range(nq)]
+        queries = synth_queries(nq, qlens, seed=200 + trial)
+        recs = synth_db(n_seqs, seed=300 + trial, median_len=60, sigma=0.6,
+                        max_len=300, queries=[q.codes for q in queries],
+                        homolog_frac=0.05)
+        with tempfile.TemporaryDirectory() as td:
+            packed = build_db(recs, td, V=V)
+            cfg = SearchConfig(backend="xla", top_k=8)
+            serial, _ = search(packed, queries, cfg)
+            qa = int(rng.choice([1, 2, 4]))
+            mesh = make_mesh(8, query_axis=qa)
+            shard, _ = sharded_search(packed, queries, cfg, mesh=mesh)
+            for a, b in zip(serial, shard):
+                assert [(h.score, h.sorted_idx) for h in a.hits] == \
+                       [(h.score, h.sorted_idx) for h in b.hits], \
+                    (trial, n_seqs, V, qlens, qa)
