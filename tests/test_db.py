@@ -177,3 +177,48 @@ def test_resume_rejects_same_shape_different_content(tmp_path):
     recs3[2] = FastaRecord("renamed", recs2[2].codes)
     p4 = build_db(recs3, d, resume=True)
     assert p4.titles != p2.titles
+
+
+def test_parser_parity_adversarial_fasta(tmp_path):
+    # adversarial inputs both parsers must handle IDENTICALLY: no trailing
+    # newline, empty sequences between headers, giant titles, CRLF,
+    # title-only files, leading/trailing blank lines
+    pytest = __import__("pytest")
+    from swimm_tpu import native
+    if not native.available():
+        pytest.skip("no cc")
+    from swimm_tpu.fasta import read_fasta
+
+    cases = {
+        "no_trailing_newline": b">a\nACDE",
+        "empty_seq_between": b">a\nACDE\n>b\n>c\nKLMN\n",
+        "title_only": b">only title here\n",
+        "giant_title": b">" + b"T" * 5000 + b"\nAC\n",
+        "crlf": b">a\r\nAC\r\nDE\r\n>b\r\nKL\r\n",
+        "blank_lines": b"\n\n>a\n\nAC\n\n\n>b\nKL\n\n",
+        "multiline_seq": b">a\n" + b"ACDEFGHIKL\n" * 30,
+    }
+    for name, payload in cases.items():
+        fa = tmp_path / f"{name}.fasta"
+        fa.write_bytes(payload)
+        codes, offs, lens, titles = native.parse_fasta(fa)
+        py = read_fasta(str(fa))
+        assert len(py) == len(lens), name
+        for i, r in enumerate(py):
+            assert titles[i] == r.title, (name, i)
+            np.testing.assert_array_equal(
+                codes[offs[i]:offs[i] + lens[i]], r.codes,
+                err_msg=f"{name}[{i}]")
+
+
+def test_parser_rejects_data_before_header(tmp_path):
+    pytest = __import__("pytest")
+    from swimm_tpu.fasta import read_fasta
+    fa = tmp_path / "bad.fasta"
+    fa.write_bytes(b"ACDE\n>late header\nKL\n")
+    with pytest.raises(ValueError):
+        read_fasta(str(fa))
+    from swimm_tpu import native
+    if native.available():
+        with pytest.raises(ValueError):
+            native.parse_fasta(fa)
