@@ -274,6 +274,12 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     latency lands in timers['merge'] (BASELINE north-star metric #3).
     Default is the fused single-dispatch form (timers['score+merge']).
 
+    precision='ladder' (and 'adaptive') serve through the exact f32 pass
+    here: the ladder's host-driven escalation cannot run inside the
+    jitted shard_map, and the exact pass returns bit-identical hit lists
+    by the ladder invariant (ops/ladder.py) — only the tiering control
+    flow differs, which the single-chip driver demonstrates.
+
     Returns (list[QueryResult], SearchMetrics).
     """
     from swimm_tpu.models.engine import Hit, QueryResult, SearchConfig
