@@ -25,6 +25,11 @@ test:
 test-tpu:
 	python -m pytest tests_tpu/ -q
 
+# curated <3-minute (warm-cache) hardware gate: every BASELINE config +
+# ragged parity + streaming at small fixed shapes (tests_tpu/test_smoke.py)
+test-tpu-smoke:
+	python -m pytest tests_tpu/ -q -m smoke
+
 bench:
 	python bench.py
 
@@ -34,4 +39,4 @@ accept:
 clean:
 	rm -f csrc/*.so
 
-.PHONY: all test test-tpu bench clean
+.PHONY: all test test-tpu test-tpu-smoke bench accept clean

@@ -93,11 +93,16 @@ def main() -> int:
         try:
             sys.path.insert(0, str(REPO / "benchmarks"))
             import roofline
-            (sol_lo, sol_hi), vpu, opc = roofline.speed_of_light_gcups(1024)
+            opc = roofline.ops_per_cell(1024)
             padded = roofline.measure_kernel_padded_gcups(1024)
-            issued = padded * 1e9 * opc["total"]
-            out["kernel_padded_gcups"] = round(padded, 1)
+            issued = padded["median"] * 1e9 * opc["total"]
+            out["kernel_padded_gcups"] = round(padded["median"], 1)
+            out["kernel_padded_gcups_band"] = [round(padded["min"], 1),
+                                               round(padded["max"], 1)]
             out["mfu_pct"] = round(100 * issued / roofline.VPU_PEAK_OPS, 1)
+            out["mfu_pct_band"] = [
+                round(100 * padded[k] * 1e9 * opc["total"]
+                      / roofline.VPU_PEAK_OPS, 1) for k in ("min", "max")]
         except Exception as e:            # never fail the headline number
             out["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(out))

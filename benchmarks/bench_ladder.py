@@ -1,14 +1,17 @@
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 """Batched precision-ladder serving throughput vs the adaptive (exact f32)
-path — VERDICT r1 #4's acceptance bar: ladder batch search within 2x of
-adaptive throughput, bit-exact hit lists.
+path — r3 acceptance bar (VERDICT r2 next-step #2): ladder batch serving
+>= 0.85x the exact path at Swiss-Prot scale, bit-exact hit lists.
 
 Runs the config-2-shaped batch against the cached Swiss-Prot-scale DB in
-both precisions and prints the ratio. The ladder pays: a saturating tier-1
-whole-DB pass (ceilinged kernel variants compile once per padded length),
-full-score D2H + host top-k (no device top-k fusion — escalation is
-host-driven), and the union-recompute dispatches.
+both precisions and prints the ratio. Since r3 the ladder's tier
+dispatches reduce to per-query top-k candidates + per-block saturation
+flags ON DEVICE (ops/ladder.topk_db_adaptive_batch) — only
+O(Q*(n_blocks+k)) bytes cross the link, vs the (Q, n_rows, V) full-score
+tensor (~45 MB at this scale) that made the r2 ladder 0.62x. Remaining
+ladder cost: the flag pull, the union-recompute dispatches, and the host
+candidate merge.
 
 Usage: python benchmarks/bench_ladder.py [--n-queries 20]
 """
@@ -73,7 +76,7 @@ def main() -> int:
     out["hits_equal"] = exact == lad
     out["ladder_vs_adaptive"] = round(
         out["ladder"]["gcups"] / out["adaptive"]["gcups"], 3)
-    out["within_2x"] = out["ladder_vs_adaptive"] >= 0.5
+    out["meets_085x_bar"] = out["ladder_vs_adaptive"] >= 0.85
     print(json.dumps(out))
     return 0 if out["hits_equal"] else 1
 

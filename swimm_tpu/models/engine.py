@@ -157,37 +157,6 @@ def device_chunks(packed: PackedDb):
     return cached
 
 
-def _tile_windows(packed: PackedDb, window_tiles: int):
-    """Split the flat tile stream into fixed-shape windows at BLOCK
-    boundaries (no block spans two windows). Yields
-    (tiles_np (W, jt, V) PAD-padded, outrow_local (W,), g0, n_rows_w);
-    every window shares one compiled kernel shape."""
-    from swimm_tpu.alphabet import PAD_CODE
-    tiles, outrow, n_rows = packed.flat_tiles()
-    tb = np.bincount(outrow, minlength=n_rows)
-    cum = np.concatenate([[0], np.cumsum(tb)])
-    assert int(tb.max()) <= window_tiles, \
-        f"a block has {int(tb.max())} tiles > window_tiles={window_tiles}"
-    r_cap = 0
-    spans = []
-    g0 = 0
-    while g0 < n_rows:
-        g1 = int(np.searchsorted(cum, cum[g0] + window_tiles,
-                                 side="right")) - 1
-        g1 = max(g1, g0 + 1)
-        spans.append((g0, g1))
-        r_cap = max(r_cap, g1 - g0)
-        g0 = g1
-    jt, V = tiles.shape[1], tiles.shape[2]
-    for g0, g1 in spans:
-        t0, t1 = int(cum[g0]), int(cum[g1])
-        win = np.full((window_tiles, jt, V), PAD_CODE, np.int8)
-        orow = np.full(window_tiles, r_cap, np.int32)   # trash row
-        win[:t1 - t0] = tiles[t0:t1]
-        orow[:t1 - t0] = outrow[t0:t1] - g0
-        yield win, orow, g0, g1 - g0, r_cap + 1
-
-
 def score_db_streaming(packed: PackedDb, query: FastaRecord,
                        config: SearchConfig,
                        window_tiles: int | None = None,
@@ -198,38 +167,52 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
     into fixed-shape windows (one compiled kernel), each window's upload
     overlaps the previous window's compute (jax async dispatch), and at
     most max_in_flight windows of device memory are alive — ~33 MB per
-    8192-tile window, independent of DB size.
+    8192-tile window, independent of DB size. Windows are assembled
+    straight from the memmapped chunk files (models/stream.py), so HOST
+    memory is also O(window), not O(DB) (SURVEY.md section 3 C4).
+
+    This is the full-score-vector API (returns every lane). Batch serving
+    streams the DB ONCE for the whole batch and returns top-k candidates
+    instead — engine.search(db_stream=True) -> stream.search_streaming_batch.
 
     Returns (n_seqs,) int32 scores in sorted-db order.
     """
-    window_tiles = window_tiles or config.window_tiles
-    max_in_flight = max_in_flight or config.max_in_flight
-    _, outrow_all, n_rows_all = packed.flat_tiles()
-    biggest = int(np.bincount(outrow_all, minlength=n_rows_all).max()) \
-        if n_rows_all else 0
-    if biggest > window_tiles:
-        raise ValueError(
-            f"window_tiles={window_tiles} is smaller than the largest DB "
-            f"block ({biggest} tiles, ~{biggest * 32} residues); blocks "
-            "cannot span windows — raise --window-tiles")
+    from swimm_tpu.models.stream import iter_windows, plan_windows, \
+        stream_layout
+    window_tiles = (window_tiles if window_tiles is not None
+                    else config.window_tiles)
+    max_in_flight = (max_in_flight if max_in_flight is not None
+                     else config.max_in_flight)
+    if window_tiles <= 0:
+        raise ValueError("window_tiles must be positive")
+    if max_in_flight <= 0:
+        raise ValueError("max_in_flight must be positive")
     backend = config.resolve_backend()
     qp = jnp.asarray(build_query_profile(query.codes, config.matrix,
                                          config.m_multiple))
+    layout = stream_layout(packed)
+    _spans, r_cap = plan_windows(layout, window_tiles)   # validates blocks
     if backend == "pallas":
+        from swimm_tpu.ops.longquery import score_tiles_long
         from swimm_tpu.ops.pallas_scorer import max_query_pad, score_tiles
+        prec = ("f32" if config.precision in ("adaptive", "ladder")
+                else config.precision)
         if qp.shape[1] > max_query_pad():
             # long queries exceed the single-pass kernel's VMEM budget;
-            # stream CHUNKS through the tiled long-query kernel instead
-            # (same bounded-memory property: one chunk in flight)
-            return _score_db_streaming_long(packed, qp, config)
+            # same windows through the tiled long-query kernel
+            scorer = lambda t, o: score_tiles_long(
+                t, o, r_cap + 1, qp, config.gap_open, config.gap_extend,
+                precision=prec)
+        else:
+            scorer = lambda t, o: score_tiles(
+                t, o, r_cap + 1, qp, config.gap_open, config.gap_extend,
+                precision=prec)
     else:
         from swimm_tpu.ops.xla_scorer import score_tiles
-    prec = {} if backend != "pallas" else {
-        "precision": "f32" if config.precision in ("adaptive", "ladder")
-        else config.precision}
-    _, _, n_rows = packed.flat_tiles()
-    V = int(packed.manifest["V"])
-    scores = np.zeros((n_rows, V), np.int32)
+        scorer = lambda t, o: score_tiles(
+            t, o, r_cap + 1, qp, config.gap_open, config.gap_extend)
+    V = layout["V"]
+    scores = np.zeros((layout["n_rows"], V), np.int32)
     from collections import deque
     pending: "deque" = deque()
 
@@ -237,38 +220,14 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
         g0, n_w, res = pending.popleft()
         scores[g0:g0 + n_w] = np.asarray(res)[:n_w]
 
-    for win, orow, g0, n_w, r_cap in _tile_windows(packed, window_tiles):
+    for win, orow, g0, n_w, _rc in iter_windows(packed, window_tiles):
         if len(pending) >= max_in_flight:
             drain()                                 # bound live windows
         dev = jnp.asarray(win)                      # async H2D
-        res = score_tiles(dev, jnp.asarray(orow), r_cap, qp,
-                          config.gap_open, config.gap_extend, **prec)
-        pending.append((g0, n_w, res))
+        pending.append((g0, n_w, scorer(dev, jnp.asarray(orow))))
     while pending:
         drain()
     return scatter_lane_scores(packed, scores.reshape(-1))
-
-
-def _score_db_streaming_long(packed: PackedDb, qp, config: SearchConfig):
-    """Streaming for long queries: one chunk in device memory at a time,
-    scored by the tiled long-query kernel."""
-    from swimm_tpu.ops import longquery
-    out = np.zeros(packed.n_seqs, dtype=np.int32)
-    prev = None
-    for ch in packed.chunks:
-        dev = jnp.asarray(np.ascontiguousarray(ch.codes))
-        res = longquery.score_chunk_long(dev, qp, config.gap_open,
-                                         config.gap_extend)
-        if prev is not None:                        # overlap: drain n-1
-            pch, pres = prev
-            out[pch.base:pch.base + pch.n_seqs] = \
-                np.asarray(pres).reshape(-1)[:pch.n_seqs]
-        prev = (ch, res)
-    if prev is not None:
-        pch, pres = prev
-        out[pch.base:pch.base + pch.n_seqs] = \
-            np.asarray(pres).reshape(-1)[:pch.n_seqs]
-    return out
 
 
 def score_db(packed: PackedDb, query: FastaRecord,
@@ -539,14 +498,19 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
         qps = np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions])
-        scores, _stats = ladder.score_db_adaptive_batch(
+        # device-side candidate return (VERDICT r2 next-step #2): each
+        # tier dispatch reduces to per-query top-k on device; only
+        # O(Q*(n_blocks + k)) bytes ever cross the link, vs the full
+        # (Q, n_rows, V) tensor (~45 MB at Swiss-Prot scale) before
+        cand, _stats = ladder.topk_db_adaptive_batch(
             packed, qps, [queries[p].length for p in positions],
-            config.gap_open, config.gap_extend, matrix=config.matrix,
-            backend=backend, dev_tiles=dt, dev_outrow=do)
+            config.top_k, config.gap_open, config.gap_extend,
+            matrix=config.matrix, backend=backend,
+            dev_tiles=dt, dev_outrow=do)
         padded_rows += m_pad * len(positions)
         for row, p in enumerate(positions):
-            svec = scatter_lane_scores(packed, scores[row].reshape(-1))
-            out[p] = top_k_hits(packed, svec, config.top_k)
+            v, si = cand[row]
+            out[p] = _hits_from(packed, v, si, config.top_k)
     for p in long_pos:
         svec = score_db(packed, queries[p], config)
         out[p] = top_k_hits(packed, svec, config.top_k)
@@ -617,14 +581,19 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
             # ladder fallback uploads its chunks lazily in score_db
             device_tiles(packed)
     padded_rows = None   # set by the fused path; others use the fallback
+    lane_positions = sum(ch.n_blocks * ch.L * ch.V for ch in packed.chunks)
     if config.db_stream:
-        # HBM-streaming path: per-query windowed scoring + host top-k
-        for q in queries:
-            with timer.phase("score"):
-                scores = score_db_streaming(packed, q, config)
-            with timer.phase("topk"):
-                hits = top_k_hits(packed, scores, config.top_k)
-            results.append(QueryResult(q.title, q.length, hits))
+        # HBM-streaming path (window-major, batch-amortized): the DB
+        # crosses the host->device link ONCE for the whole batch; every
+        # uploaded window is scored against every query, with device-side
+        # per-window top-k (models/stream.py — SURVEY.md section 4.3's
+        # transfer-once model under the bounded-memory posture)
+        from swimm_tpu.models.stream import search_streaming_batch
+        with timer.phase("score"):
+            hit_lists, padded_rows, lane_positions = \
+                search_streaming_batch(packed, queries, config)
+        results = [QueryResult(q.title, q.length, h)
+                   for q, h in zip(queries, hit_lists)]
     # serving fast path: queries batched into one fused dispatch per padded
     # profile length (or pack), device-side top-k; precision='ladder' runs
     # the batched tier-1 + union-recompute control flow inside
@@ -638,7 +607,6 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     seconds = time.perf_counter() - t0
 
     total_q = sum(q.length for q in queries)
-    lane_positions = sum(ch.n_blocks * ch.L * ch.V for ch in packed.chunks)
     if padded_rows is None:
         padded_rows = sum(-(-max(q.length, 1) // config.m_multiple)
                           * config.m_multiple for q in queries)

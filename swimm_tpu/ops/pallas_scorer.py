@@ -62,6 +62,9 @@ from swimm_tpu.alphabet import TABLE_CODES
 
 LANE = 128
 SUB = 8  # sublanes per native f32/i32 tile
+SMAX_MERGE = 8  # running-max -> Smax VMEM merge interval in _dp_steps
+# (module-level so benchmarks/exp_kernel_structure.py can sweep it; 8 was
+# picked r1 and re-confirmed by the r3 sweep — see docs/KERNEL_NOTES.md)
 
 
 def _negval(dtype):
@@ -183,7 +186,7 @@ def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
     mmdt = _mm_dtype()
     qpt = qpt_ref[:].astype(mmdt)                        # (m, 32), has +ge
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (TABLE_CODES, 1), 0)
-    SMAX_MERGE = 8
+    smax_merge = SMAX_MERGE
 
     def score_at(j):
         d = db_ref[0, j, :].astype(jnp.int32)            # (Vk,) static index
@@ -222,7 +225,7 @@ def _dp_steps(db_ref, qpt_ref, ramp, h_ref, e_ref, smax_ref, *,
             # score) and the block-end write caps the report at `ceiling`
             # exactly (_write; r2 fuzz finding).
             h = jnp.minimum(h, ramp + ceiling)
-        if (j + 1) % SMAX_MERGE == 0 or j == jt_steps - 1:
+        if (j + 1) % smax_merge == 0 or j == jt_steps - 1:
             smax_ref[:] = jnp.maximum(smax_ref[:], colmax)
             colmax = None
     h_ref[:] = h

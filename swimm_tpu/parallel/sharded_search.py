@@ -376,11 +376,17 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
     # honest padded accounting: shard-padded lane positions x the padded
     # query rows actually dispatched (incl. the query-axis pad to Qp)
     padded = lane_positions * padded_rows
+    timers = timer.report()
+    merge_stats = timer.event_stats("merge")
+    if merge_stats is not None:
+        # one merge collective runs per m_pad group; the BASELINE "merge
+        # latency" metric is the per-collective number, not the sum
+        timers["merge_collectives"] = merge_stats
     metrics = SearchMetrics(
         cells=int(packed.total_residues) * total_q,
         padded_cells=padded,
         n_db_seqs=packed.n_seqs, n_queries=Q, seconds=seconds,
-        timers=timer.report())
+        timers=timers)
     return results, metrics
 
 

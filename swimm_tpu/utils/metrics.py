@@ -20,8 +20,16 @@ def gcups(cells: int, seconds: float) -> float:
 
 @dataclass
 class PhaseTimer:
-    """Named phase timers: with timer.phase("search"): ..."""
+    """Named phase timers: with timer.phase("search"): ...
+
+    Each phase accumulates a total AND keeps the per-entry durations, so
+    phases entered once per collective/dispatch can be reported as
+    (count, mean, max) instead of a bare sum — a summed "merge latency"
+    over several per-group collectives is not a latency (VERDICT r2
+    weak #6; BASELINE north-star metric #3 names the per-merge number).
+    """
     phases: dict = field(default_factory=dict)
+    events: dict = field(default_factory=dict)
 
     @contextmanager
     def phase(self, name: str):
@@ -29,13 +37,24 @@ class PhaseTimer:
         try:
             yield
         finally:
-            self.phases[name] = self.phases.get(name, 0.0) + (time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            self.phases[name] = self.phases.get(name, 0.0) + dt
+            self.events.setdefault(name, []).append(dt)
 
     def total(self) -> float:
         return sum(self.phases.values())
 
     def report(self) -> dict:
         return dict(self.phases)
+
+    def event_stats(self, name: str) -> dict | None:
+        """(count, mean, max) seconds over the individual entries of one
+        phase; None if the phase never ran."""
+        ev = self.events.get(name)
+        if not ev:
+            return None
+        return {"count": len(ev), "mean_s": sum(ev) / len(ev),
+                "max_s": max(ev)}
 
 
 @dataclass

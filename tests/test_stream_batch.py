@@ -1,0 +1,210 @@
+"""Window-major batch streaming + device-side ladder candidates (round 3).
+
+Covers VERDICT r2 next-steps #1 (batch-amortized streaming), #2 (ladder
+candidate return), #3 (out-of-core window assembly), #5 (posture
+validation). Exactness bar: hit lists bit-identical to the resident fused
+path in score, index, and order.
+"""
+
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from swimm_tpu.db import build_db
+from swimm_tpu.models.engine import SearchConfig, search
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    queries = synth_queries(5, [24, 40, 40, 64, 100], seed=51)
+    recs = synth_db(300, seed=52, median_len=60, sigma=0.5, max_len=220,
+                    queries=[q.codes for q in queries], homolog_frac=0.06)
+    packed = build_db(recs, tmp_path_factory.mktemp("db"), V=8)
+    return recs, queries, packed
+
+
+def _key(results):
+    return [[(h.score, h.sorted_idx) for h in r.hits] for r in results]
+
+
+def test_windows_reassemble_flat_tiles(world):
+    # the out-of-core window assembler must reproduce flat_tiles() content
+    # (tiles, local rows) exactly, window by window
+    from swimm_tpu.models.stream import iter_windows, plan_windows, \
+        stream_layout
+    _, _, packed = world
+    tiles, outrow, n_rows = packed.flat_tiles()
+    layout = stream_layout(packed)
+    assert layout["n_rows"] == n_rows
+    assert layout["T"] == tiles.shape[0]
+    for wt in (8, 17, 64, 4096):
+        spans, r_cap = plan_windows(layout, wt)
+        seen_rows = 0
+        for win, orow, g0, n_w, rc in iter_windows(packed, wt):
+            t0, t1 = int(layout["cum"][g0]), int(layout["cum"][g0 + n_w])
+            assert np.array_equal(win[:t1 - t0], tiles[t0:t1])
+            assert np.array_equal(orow[:t1 - t0], outrow[t0:t1] - g0)
+            assert (orow[t1 - t0:] == rc).all()       # trash row
+            assert rc == r_cap
+            seen_rows += n_w
+        assert seen_rows == n_rows
+
+
+def test_stream_batch_matches_resident_multi_mpad(world):
+    # several padded-length groups share each uploaded window; hit lists
+    # must match the resident fused path bit-for-bit
+    _, queries, packed = world
+    resident, _ = search(packed, queries,
+                         SearchConfig(backend="xla", top_k=12))
+    for wt in (32, 512):
+        streamed, m = search(packed, queries,
+                             SearchConfig(backend="xla", top_k=12,
+                                          db_stream=True, window_tiles=wt))
+        assert _key(streamed) == _key(resident), f"window_tiles={wt}"
+        assert m.n_queries == len(queries)
+
+
+def test_stream_batch_pallas_interpret(world):
+    # the TPU kernel path (interpret mode) through the window step
+    _, queries, packed = world
+    resident, _ = search(packed, queries[:2],
+                         SearchConfig(backend="xla", top_k=8))
+    streamed, _ = search(packed, queries[:2],
+                         SearchConfig(backend="pallas", top_k=8,
+                                      db_stream=True, window_tiles=64))
+    assert _key(streamed) == _key(resident)
+
+
+def test_stream_single_window_whole_db(world):
+    # window larger than the DB: one upload, still exact
+    _, queries, packed = world
+    resident, _ = search(packed, queries[:3],
+                         SearchConfig(backend="xla", top_k=6))
+    streamed, _ = search(packed, queries[:3],
+                         SearchConfig(backend="xla", top_k=6,
+                                      db_stream=True, window_tiles=1 << 16))
+    assert _key(streamed) == _key(resident)
+
+
+def test_stream_rejects_ladder(world):
+    # posture validation (VERDICT r2 weak #3): asking for the ladder under
+    # streaming must error loudly, not silently serve the exact pass
+    _, queries, packed = world
+    with pytest.raises(ValueError, match="ladder"):
+        search(packed, queries[:1],
+               SearchConfig(backend="xla", precision="ladder",
+                            db_stream=True))
+
+
+def test_cli_posture_conflicts(tmp_path):
+    # every unsupported flag combination errors with a message naming the
+    # conflicting flags (exit code 2 via the friendly ValueError path)
+    from swimm_tpu.cli import main
+    from swimm_tpu.fasta import write_fasta
+    recs = synth_db(40, seed=60, median_len=30, sigma=0.3, max_len=60)
+    fa = tmp_path / "db.fa"
+    write_fasta(fa, recs)
+    qf = tmp_path / "q.fa"
+    write_fasta(qf, synth_queries(1, [24], seed=61))
+    db = tmp_path / "db"
+    assert main(["preprocess", "-i", str(fa), "-o", str(db)]) == 0
+    base = ["search", "-d", str(db), "-q", str(qf), "--backend", "xla"]
+    for extra in (["--sharded", "--stream"],
+                  ["--sharded", "--query-pack"],
+                  ["--sharded", "--window-tiles", "64"],
+                  ["--sharded", "--max-in-flight", "4"],
+                  ["--stream", "--query-pack"],
+                  ["--stream", "--precision", "ladder"]):
+        rc = main(base + extra)
+        assert rc == 2, f"{extra} should be rejected, got rc={rc}"
+    # the supported forms still run
+    assert main(base) == 0
+    assert main(base + ["--stream", "--window-tiles", "64"]) == 0
+
+
+def test_ladder_topk_candidates_equal_exact(tmp_path):
+    # device-side candidate merge across tiers == exact-path hit lists,
+    # including multi-tier escalation (forced tiny tiers) and candidates
+    # another query escalated (dedupe path)
+    from swimm_tpu.models.profile import build_query_profile
+    from swimm_tpu.ops import ladder, xla_scorer
+
+    import jax.numpy as jnp
+
+    queries = synth_queries(3, [48, 48, 48], seed=71)
+    recs = synth_db(120, seed=72, median_len=50, sigma=0.5, max_len=160,
+                    queries=[queries[0].codes], homolog_frac=0.1)
+    packed = build_db(recs, tmp_path / "db", V=8)
+    qps = np.stack([build_query_profile(q.codes, m_multiple=8)
+                    for q in queries])
+    lens = [q.length for q in queries]
+    k = 10
+    tiles, outrow, n_rows = packed.flat_tiles()
+    mask, l2s = packed.lane_maps()
+    for tiers in (ladder.DEFAULT_TIERS, (20, 60, None), (5, None)):
+        cand, stats = ladder.topk_db_adaptive_batch(
+            packed, qps, lens, k, 10, 2, tiers=tiers, backend="xla")
+        for i in range(len(queries)):
+            exact = np.asarray(xla_scorer.score_tiles(
+                jnp.asarray(tiles), outrow, n_rows,
+                jnp.asarray(qps[i]), 10, 2)).reshape(-1)
+            flat = np.where(mask, exact, -1)
+            order = np.lexsort((np.arange(len(flat)), -flat))[:k]
+            exp = [(int(flat[j]), int(l2s[j])) for j in order]
+            got = [(int(v), int(s)) for v, s in zip(*cand[i])]
+            assert got == exp, f"tiers={tiers} query {i}"
+        if tiers == (20, 60, None):
+            assert stats["tier_blocks"][1] >= 1     # escalation happened
+
+
+def test_stream_out_of_core_rss(tmp_path):
+    # SURVEY.md section 3 C4 / VERDICT r2 missing #2: streaming search must
+    # not materialize the DB on the host — peak RSS growth while streaming
+    # stays O(window), a small fraction of the DB's packed bytes. Runs in a
+    # subprocess so this suite's own allocations don't pollute ru_maxrss.
+    from swimm_tpu.utils.synth import synth_fasta_fast
+    fa = tmp_path / "big.fa"
+    synth_fasta_fast(fa, 150_000, seed=80, median_len=300, sigma=0.3,
+                     max_len=900)
+    db = tmp_path / "db"
+    packed = build_db(str(fa), db, V=128)
+    db_bytes = sum(int(c["n_blocks"]) * int(c["L"]) * int(c["V"])
+                   for c in packed.manifest["chunks"])
+    assert db_bytes > 45e6           # big enough for the check to mean much
+    del packed
+    from swimm_tpu.fasta import write_fasta
+    qf = tmp_path / "q.fa"
+    write_fasta(qf, synth_queries(2, [40, 72], seed=81))
+    script = textwrap.dedent(f"""
+        import resource, json
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from swimm_tpu.db import load_db
+        from swimm_tpu.fasta import read_fasta
+        from swimm_tpu.models.engine import SearchConfig, search
+        packed = load_db({str(db)!r})            # memmap-backed
+        queries = read_fasta({str(qf)!r})
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        results, _ = search(packed, queries,
+                            SearchConfig(backend="xla", db_stream=True,
+                                         window_tiles=512, top_k=5))
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert all(len(r.hits) == 5 for r in results)
+        print(json.dumps({{"delta_kb": rss1 - rss0}}))
+    """)
+    out = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+    delta_kb = json.loads(out.stdout.strip().splitlines()[-1])["delta_kb"]
+    # window = 512 tiles * 32 * 128 = 2 MB; allow jit-compile + runtime
+    # buffer slack, but stay far under the DB bytes the materialized tile
+    # stream (plus its chunk concat temporaries) would cost
+    assert delta_kb * 1024 < db_bytes / 2, (
+        f"streaming search grew RSS by {delta_kb} kB "
+        f"(DB is {db_bytes >> 20} MB) — looks like the DB was "
+        "materialized on the host")
