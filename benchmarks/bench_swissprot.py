@@ -130,7 +130,8 @@ def main() -> int:
     elif args.quick:
         sweeps = [(8192, 2)]
     else:
-        sweeps = [(8192, 2), (16384, 3)]
+        # same window shapes (compiled once); max_in_flight is host-side
+        sweeps = [(8192, 2), (8192, 4), (16384, 3)]
     for wt, mif in sweeps:
         scfg = SearchConfig(top_k=16, db_stream=True, window_tiles=wt,
                             max_in_flight=mif, m_multiple=64,

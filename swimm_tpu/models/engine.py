@@ -177,8 +177,7 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
 
     Returns (n_seqs,) int32 scores in sorted-db order.
     """
-    from swimm_tpu.models.stream import iter_windows, plan_windows, \
-        stream_layout
+    from swimm_tpu.models.stream import plan_windows, stream_layout
     window_tiles = (window_tiles if window_tiles is not None
                     else config.window_tiles)
     max_in_flight = (max_in_flight if max_in_flight is not None
@@ -220,7 +219,9 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
         g0, n_w, res = pending.popleft()
         scores[g0:g0 + n_w] = np.asarray(res)[:n_w]
 
-    for win, orow, g0, n_w, _rc in iter_windows(packed, window_tiles):
+    from swimm_tpu.models.stream import prefetch_windows
+    for win, orow, g0, n_w, _rc in prefetch_windows(packed, window_tiles,
+                                                    depth=max_in_flight):
         if len(pending) >= max_in_flight:
             drain()                                 # bound live windows
         dev = jnp.asarray(win)                      # async H2D
@@ -494,19 +495,22 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
     out = [None] * len(queries)
     padded_rows = 0
     dt, do, _ = device_tiles(packed)
-    for m_pad, positions in groups.items():
-        qps = np.stack([
-            build_query_profile(queries[p].codes, config.matrix, mm)
-            for p in positions])
-        # device-side candidate return (VERDICT r2 next-step #2): each
-        # tier dispatch reduces to per-query top-k on device; only
-        # O(Q*(n_blocks + k)) bytes ever cross the link, vs the full
-        # (Q, n_rows, V) tensor (~45 MB at Swiss-Prot scale) before
-        cand, _stats = ladder.topk_db_adaptive_batch(
-            packed, qps, [queries[p].length for p in positions],
-            config.top_k, config.gap_open, config.gap_extend,
-            matrix=config.matrix, backend=backend,
-            dev_tiles=dt, dev_outrow=do)
+    # device-side candidate return, all groups in one serving call
+    # (VERDICT r2 next-step #2): every tier's dispatches are queued
+    # before any pull; escalation gathers each query's own flagged
+    # blocks from the RESIDENT stream on device — only flags and
+    # (Q, k) candidates ever cross the link, vs the (Q, n_rows, V)
+    # full-score tensor (~45 MB at Swiss-Prot scale) before r3
+    group_list = [(np.stack([
+        build_query_profile(queries[p].codes, config.matrix, mm)
+        for p in positions]),
+        [queries[p].length for p in positions])
+        for m_pad, positions in groups.items()]
+    cand_groups, _stats = ladder.topk_db_adaptive_serving(
+        packed, group_list, config.top_k, config.gap_open,
+        config.gap_extend, matrix=config.matrix, backend=backend,
+        dev_tiles=dt, dev_outrow=do)
+    for (m_pad, positions), cand in zip(groups.items(), cand_groups):
         padded_rows += m_pad * len(positions)
         for row, p in enumerate(positions):
             v, si = cand[row]

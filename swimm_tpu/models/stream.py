@@ -149,6 +149,38 @@ def iter_windows(packed, window_tiles: int, jt: int = 32):
         yield win, orow, g0, g1 - g0, r_cap
 
 
+def prefetch_windows(packed, window_tiles: int, jt: int = 32,
+                     depth: int = 2):
+    """iter_windows through a background assembly thread: the next
+    window's file reads + PAD fill overlap the device's work on the
+    current one (the host loop otherwise serializes ~1-2 s of pure
+    assembly into the stream at Swiss-Prot scale). Bounded queue keeps
+    at most `depth` assembled windows (~33 MB each at 8192 tiles) alive
+    beyond the ones the caller holds."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iter_windows(packed, window_tiles, jt):
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:                 # forward to consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 _STREAM_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -293,8 +325,8 @@ def search_streaming_batch(packed, queries, config):
             for row, p in enumerate(positions):
                 cands[p].append((v[row], i[row]))
 
-    for win, orow, g0, n_w, _rc in iter_windows(packed, config.window_tiles,
-                                                jt):
+    for win, orow, g0, n_w, _rc in prefetch_windows(
+            packed, config.window_tiles, jt, depth=config.max_in_flight):
         if len(pending) >= config.max_in_flight:
             drain()
         tiles_dev = jnp.asarray(win)              # async H2D, once/window
