@@ -134,6 +134,10 @@ def main(argv=None) -> int:
                                                       "False", "no")
     try:
         return _run(build_parser().parse_args(argv))
+    except BrokenPipeError:
+        # downstream pager/head closed stdout; the POSIX-polite exit
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 141
     except FileNotFoundError as e:
         if debug:
             raise
@@ -204,17 +208,22 @@ def _run(args) -> int:
         # must never silently get another (VERDICT r2 weak #3) — conflicts
         # error loudly, naming both flags.
         if args.sharded:
-            for flag, on in (("--stream", args.stream),
-                             ("--query-pack", args.query_pack),
-                             ("--window-tiles", args.window_tiles is not None),
-                             ("--max-in-flight",
-                              args.max_in_flight is not None)):
-                if on:
-                    raise ValueError(
-                        f"--sharded does not support {flag}: the sharded "
-                        "path keeps DB shards resident per device and "
-                        "groups queries by padded length itself — drop "
-                        f"{flag} or run without --sharded")
+            if args.query_pack:
+                raise ValueError(
+                    "--sharded does not support --query-pack: the sharded "
+                    "path groups queries by padded length itself — drop "
+                    "--query-pack or run without --sharded")
+            if not args.stream:
+                for flag, on in (
+                        ("--window-tiles", args.window_tiles is not None),
+                        ("--max-in-flight",
+                         args.max_in_flight is not None)):
+                    if on:
+                        raise ValueError(
+                            f"--sharded without --stream does not support "
+                            f"{flag}: the resident sharded path keeps DB "
+                            "shards in device memory with no windows — "
+                            f"add --stream or drop {flag}")
         if args.stream and args.query_pack:
             raise ValueError(
                 "--stream does not support --query-pack: the streaming "
@@ -236,7 +245,14 @@ def _run(args) -> int:
             import jax
             prof = jax.profiler.trace(args.profile_dir)
         with prof:
-            if args.sharded:
+            if args.sharded and args.stream:
+                from swimm_tpu.parallel.mesh import make_mesh
+                from swimm_tpu.parallel.sharded_stream import \
+                    search_streaming_sharded
+                results, metrics = search_streaming_sharded(
+                    packed, queries, config,
+                    mesh=make_mesh(query_axis=args.query_axis))
+            elif args.sharded:
                 from swimm_tpu.parallel.mesh import make_mesh
                 from swimm_tpu.parallel.sharded_search import sharded_search
                 results, metrics = sharded_search(

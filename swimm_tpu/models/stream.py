@@ -149,14 +149,10 @@ def iter_windows(packed, window_tiles: int, jt: int = 32):
         yield win, orow, g0, g1 - g0, r_cap
 
 
-def prefetch_windows(packed, window_tiles: int, jt: int = 32,
-                     depth: int = 2):
-    """iter_windows through a background assembly thread: the next
-    window's file reads + PAD fill overlap the device's work on the
-    current one (the host loop otherwise serializes ~1-2 s of pure
-    assembly into the stream at Swiss-Prot scale). Bounded queue keeps
-    at most `depth` assembled windows (~33 MB each at 8192 tiles) alive
-    beyond the ones the caller holds."""
+def _prefetch_iter(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue: at
+    most `depth` produced items are alive beyond the one the consumer
+    holds. Exceptions in the producer re-raise at the consumer."""
     import queue as _queue
     import threading
 
@@ -165,7 +161,7 @@ def prefetch_windows(packed, window_tiles: int, jt: int = 32,
 
     def worker():
         try:
-            for item in iter_windows(packed, window_tiles, jt):
+            for item in it:
                 q.put(item)
             q.put(_END)
         except BaseException as e:                 # forward to consumer
@@ -179,6 +175,18 @@ def prefetch_windows(packed, window_tiles: int, jt: int = 32,
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def prefetch_windows(packed, window_tiles: int, jt: int = 32,
+                     depth: int = 2):
+    """iter_windows through a background assembly thread: the next
+    window's file reads + PAD fill overlap the device's work on the
+    current one (the host loop otherwise serializes ~1-2 s of pure
+    assembly into the stream at Swiss-Prot scale). Bounded queue keeps
+    at most `depth` assembled windows (~33 MB each at 8192 tiles) alive
+    beyond the ones the caller holds."""
+    yield from _prefetch_iter(iter_windows(packed, window_tiles, jt),
+                              depth=depth)
 
 
 _STREAM_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()

@@ -113,17 +113,19 @@ def test_cli_posture_conflicts(tmp_path):
     db = tmp_path / "db"
     assert main(["preprocess", "-i", str(fa), "-o", str(db)]) == 0
     base = ["search", "-d", str(db), "-q", str(qf), "--backend", "xla"]
-    for extra in (["--sharded", "--stream"],
-                  ["--sharded", "--query-pack"],
+    for extra in (["--sharded", "--query-pack"],
                   ["--sharded", "--window-tiles", "64"],
                   ["--sharded", "--max-in-flight", "4"],
                   ["--stream", "--query-pack"],
-                  ["--stream", "--precision", "ladder"]):
+                  ["--stream", "--precision", "ladder"],
+                  ["--sharded", "--stream", "--precision", "ladder"]):
         rc = main(base + extra)
         assert rc == 2, f"{extra} should be rejected, got rc={rc}"
-    # the supported forms still run
+    # the supported forms still run (sharded x stream implemented in r3)
     assert main(base) == 0
     assert main(base + ["--stream", "--window-tiles", "64"]) == 0
+    assert main(base + ["--sharded", "--stream",
+                        "--window-tiles", "64"]) == 0
 
 
 def test_ladder_topk_candidates_equal_exact(tmp_path):
