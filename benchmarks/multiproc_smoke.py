@@ -87,6 +87,14 @@ def worker(args) -> int:
     results, metrics = sharded_search(packed, queries, cfg, mesh=mesh,
                                       tile_shards=shards,
                                       measure_merge=True)
+
+    # --- multi-host STREAMING search: per-host span assembly, same
+    # collective candidate contract over super-windows
+    from swimm_tpu.parallel.sharded_stream import search_streaming_sharded
+    scfg = SearchConfig(backend="xla", top_k=8, db_stream=True,
+                        window_tiles=16, max_in_flight=2)
+    sresults, _ = search_streaming_sharded(packed, queries, scfg, mesh=mesh)
+
     out = {
         "pid": args.pid,
         "n_processes": jax.process_count(),
@@ -94,6 +102,8 @@ def worker(args) -> int:
         "merge_checksum_ok": True,
         "results": [[[h.score, h.sorted_idx] for h in r.hits]
                     for r in results],
+        "stream_results": [[[h.score, h.sorted_idx] for h in r.hits]
+                           for r in sresults],
         "timers": metrics.timers,
     }
     Path(args.out).write_text(json.dumps(out))
@@ -154,13 +164,15 @@ def parent(args) -> int:
     for pid, out in enumerate(outs):
         got = json.loads(out.read_text())
         assert got["n_processes"] == args.n_procs
-        if got["results"] != expect:
-            print(f"FAIL: process {pid} hit lists != serial driver",
-                  file=sys.stderr)
-            for qe, qg in zip(expect, got["results"]):
-                if qe != qg:
-                    print(f"  expect {qe}\n  got    {qg}", file=sys.stderr)
-            ok = False
+        for leg in ("results", "stream_results"):
+            if got[leg] != expect:
+                print(f"FAIL: process {pid} {leg} hit lists != serial "
+                      "driver", file=sys.stderr)
+                for qe, qg in zip(expect, got[leg]):
+                    if qe != qg:
+                        print(f"  expect {qe}\n  got    {qg}",
+                              file=sys.stderr)
+                ok = False
     if ok:
         print(json.dumps({
             "multiproc_smoke": "PASS",
@@ -169,7 +181,8 @@ def parent(args) -> int:
             "query_axis": args.query_axis,
             "n_seqs": args.n_seqs,
             "n_queries": len(queries),
-            "hit_lists": "exact vs serial driver on every process",
+            "hit_lists": "exact vs serial driver on every process "
+                         "(resident + streaming super-window legs)",
         }))
     return 0 if ok else 1
 

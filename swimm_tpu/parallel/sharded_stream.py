@@ -28,10 +28,15 @@ global top-k member that lives in the span; the host lexsort over the
 union reproduces the resident hit-list order bit-for-bit (tested in
 tests/test_sharded_stream.py).
 
-Multi-process jobs are rejected for now: every process would need to
-assemble only its own devices' spans from its local chunk files, which
-needs the per-host file layout of parallel/distributed.py — single
-process covers the virtual-mesh and single-host-multi-chip postures.
+Multi-process (multi-host) jobs work the same way the resident sharded
+path does (parallel/distributed.py): the super-window plan is pure index
+math and therefore identical on every host, so processes stay in
+lockstep for the collectives; each host fills ONLY the spans its own
+devices consume (the file reads are gated by
+``distributed.process_data_rows``), super-window arrays are assembled
+via per-device callbacks, and the candidate fetch allgathers the
+query-sharded output across processes. Exercised as a real 2-process
+jax.distributed job in benchmarks/multiproc_smoke.py --stream.
 """
 
 from __future__ import annotations
@@ -123,11 +128,17 @@ def _sharded_window_step(tiles_sh, orow_sh, g0s, n_ws, qps, mask_p, l2s_p,
     )(tiles_sh, orow_sh, g0s, n_ws, qps)
 
 
-def _iter_super_windows(packed, layout, spans, r_cap, n_data, window_tiles):
+def _iter_super_windows(packed, layout, spans, r_cap, n_data, window_tiles,
+                        rows=None):
     """Yield (tiles (n_data, wt, jt, V) int8, orow (n_data, wt) int32,
     g0s (n_data,), n_ws (n_data,)) — n_data consecutive spans assembled
     out-of-core into one stacked super-window; missing tail spans are
-    all-PAD with n_w=0."""
+    all-PAD with n_w=0.
+
+    rows: if given (multi-host), the chunk-file reads run only for these
+    'data' rows — the ones this host's devices consume. The index-math
+    outputs (orow/g0s/n_ws) are filled for every row regardless: they are
+    cheap, deterministic, and keep all hosts' plans in lockstep."""
     from swimm_tpu.alphabet import PAD_CODE
     from swimm_tpu.models.stream import _fill_window
     jt, V, cum = layout["jt"], layout["V"], layout["cum"]
@@ -139,8 +150,9 @@ def _iter_super_windows(packed, layout, spans, r_cap, n_data, window_tiles):
         n_ws = np.zeros(n_data, np.int32)
         for d, (g0, g1) in enumerate(group):
             t0, t1 = int(cum[g0]), int(cum[g1])
-            filled = _fill_window(packed, layout, t0, t1, tiles[d])
-            assert filled == t1 - t0, (filled, t0, t1)
+            if rows is None or d in rows:
+                filled = _fill_window(packed, layout, t0, t1, tiles[d])
+                assert filled == t1 - t0, (filled, t0, t1)
             orow[d, :t1 - t0] = (np.searchsorted(
                 cum, np.arange(t0, t1), side="right") - 1 - g0)
             g0s[d] = g0
@@ -167,18 +179,28 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
     from swimm_tpu.models.stream import (_prefetch_iter, plan_windows,
                                          stream_layout)
     from swimm_tpu.ops import pallas_scorer
-    from swimm_tpu.parallel.sharded_search import pad_queries
+    from swimm_tpu.parallel.sharded_search import (_device_to_host,
+                                                   pad_queries)
 
     config = config or SearchConfig()
     if mesh is None:
         from swimm_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-    if jax.process_count() > 1:
-        raise ValueError(
-            "sharded streaming is single-process for now: multi-host jobs "
-            "need per-host span assembly from local chunk files "
-            "(parallel/distributed.py layout) — run resident sharded "
-            "search (--sharded) or single-process streaming instead")
+    multi_proc = jax.process_count() > 1
+    if multi_proc:
+        from swimm_tpu.parallel.distributed import process_data_rows
+        my_rows = set(process_data_rows(mesh))
+    else:
+        my_rows = None
+
+    def put(arr, sharding):
+        # device_put only accepts fully-addressable targets; in a
+        # multi-process job assemble through per-device callbacks served
+        # from the (host-identical or row-gated) full array
+        if multi_proc:
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return jax.device_put(arr, sharding)
     if config.precision == "ladder":
         raise ValueError(
             "db_stream=True does not support precision='ladder' (see "
@@ -202,10 +224,8 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
         mask, l2s = packed.lane_maps()
         pad = n_lanes
         rep = NamedSharding(mesh, P())
-        mask_p = jax.device_put(
-            np.concatenate([mask, np.zeros(pad, bool)]), rep)
-        l2s_p = jax.device_put(
-            np.concatenate([l2s, np.zeros(pad, np.int32)]), rep)
+        mask_p = put(np.concatenate([mask, np.zeros(pad, bool)]), rep)
+        l2s_p = put(np.concatenate([l2s, np.zeros(pad, np.int32)]), rep)
 
     # per-group stacked profiles (padded to the 'query' axis) + step kwargs
     with timer.phase("profiles"):
@@ -224,7 +244,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             qps = np.stack([
                 build_query_profile(queries[p].codes, config.matrix, mm)
                 for p in positions])
-            qps = jax.device_put(pad_queries(qps, mesh), qspec)
+            qps = put(pad_queries(qps, mesh), qspec)
             padded_rows += m_pad * qps.shape[0]
             kwargs = dict(mesh=mesh, r_cap=r_cap, gap_open=config.gap_open,
                           gap_extend=config.gap_extend, mode=mode, kk=kk,
@@ -240,13 +260,13 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
 
     def drain():
         for positions, (v, i) in pending.popleft():
-            v = np.asarray(jax.block_until_ready(v))
-            i = np.asarray(i)
+            v = _device_to_host(v)
+            i = _device_to_host(i)
             for row, p in enumerate(positions):
                 cands[p].append((v[row], i[row]))
 
     sw_iter = _iter_super_windows(packed, layout, spans, r_cap, n_data,
-                                  config.window_tiles)
+                                  config.window_tiles, rows=my_rows)
     n_super = 0
     with timer.phase("stream"):
         for tiles, orow, g0s, n_ws in _prefetch_iter(
@@ -254,10 +274,10 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             if len(pending) >= config.max_in_flight:
                 drain()
             n_super += 1
-            tiles_sh = jax.device_put(tiles, tile_spec)   # 1 H2D/device
-            orow_sh = jax.device_put(orow, row_spec)
-            g0s_d = jax.device_put(g0s, d_spec)
-            n_ws_d = jax.device_put(n_ws, d_spec)
+            tiles_sh = put(tiles, tile_spec)              # 1 H2D/device
+            orow_sh = put(orow, row_spec)
+            g0s_d = put(g0s, d_spec)
+            n_ws_d = put(n_ws, d_spec)
             pending.append([
                 (positions, _sharded_window_step(
                     tiles_sh, orow_sh, g0s_d, n_ws_d, qps, mask_p, l2s_p,
