@@ -100,27 +100,34 @@ def main() -> int:
     m = 1024
     baseline_ref = None
     rows = []
-    for jt_steps in (32, 64):
-        for sm in (4, 8, 16, 32):
-            pallas_scorer.SMAX_MERGE = sm
-            jax.clear_caches()                   # drop stale closures
-            try:
-                stats, ref = measure(jt_steps, m)
-            except Exception as e:
+    saved_sm = pallas_scorer.SMAX_MERGE
+    try:
+        for jt_steps in (32, 64):
+            for sm in (4, 8, 16, 32):
+                pallas_scorer.SMAX_MERGE = sm
+                jax.clear_caches()               # drop stale closures
+                try:
+                    stats, ref = measure(jt_steps, m)
+                except Exception as e:
+                    rows.append({"jt_steps": jt_steps, "smax_merge": sm,
+                                 "error": f"{type(e).__name__}: {e}"[:160]})
+                    print(json.dumps(rows[-1]), flush=True)
+                    continue
+                if baseline_ref is None:
+                    baseline_ref = ref
+                exact = bool(np.array_equal(ref, baseline_ref))
                 rows.append({"jt_steps": jt_steps, "smax_merge": sm,
-                             "error": f"{type(e).__name__}: {e}"[:160]})
+                             **stats, "scores_exact": exact})
                 print(json.dumps(rows[-1]), flush=True)
-                continue
-            if baseline_ref is None:
-                baseline_ref = ref
-            exact = bool(np.array_equal(ref, baseline_ref))
-            rows.append({"jt_steps": jt_steps, "smax_merge": sm,
-                         **stats, "scores_exact": exact})
-            print(json.dumps(rows[-1]), flush=True)
-            assert exact, "variant changed scores!"
-    pallas_scorer.SMAX_MERGE = 8                 # restore production value
-    best = max((r for r in rows if "gcups_med" in r),
-               key=lambda r: r["gcups_med"])
+                assert exact, "variant changed scores!"
+    finally:
+        pallas_scorer.SMAX_MERGE = saved_sm      # restore production value
+    timed = [r for r in rows if "gcups_med" in r]
+    if not timed:
+        print(json.dumps({"best": None,
+                          "error": "every variant errored (see rows)"}))
+        return 1
+    best = max(timed, key=lambda r: r["gcups_med"])
     print(json.dumps({"best": best}))
     return 0
 

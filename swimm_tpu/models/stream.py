@@ -152,29 +152,52 @@ def iter_windows(packed, window_tiles: int, jt: int = 32):
 def _prefetch_iter(it, depth: int = 2):
     """Run an iterator in a background thread with a bounded queue: at
     most `depth` produced items are alive beyond the one the consumer
-    holds. Exceptions in the producer re-raise at the consumer."""
+    holds. Exceptions in the producer re-raise at the consumer.
+
+    If the consumer abandons the generator mid-stream (its own exception,
+    or GC of a half-consumed generator), the finally block signals the
+    producer to stop and unblocks any pending q.put, so neither the
+    thread nor its ~33 MB window buffers outlive the search."""
     import queue as _queue
     import threading
 
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
         except BaseException as e:                 # forward to consumer
-            q.put(e)
+            if not stop.is_set():
+                q.put(e)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():           # unblock a producer stuck on put
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
 
 
 def prefetch_windows(packed, window_tiles: int, jt: int = 32,
@@ -211,12 +234,81 @@ def _lane_maps_padded(packed, r_cap: int):
     return hit
 
 
+def select_mode(backend: str, m_pad: int) -> str:
+    """Kernel mode for one padded-length group — the single decision
+    point shared by the streaming and sharded-streaming drivers."""
+    from swimm_tpu.ops import pallas_scorer
+    if backend != "pallas":
+        return "tiles_xla"
+    if m_pad <= pallas_scorer.max_query_pad():
+        return "tiles"
+    return "tiles_long"
+
+
+def dispatched_rows(mode: str, m_pad: int) -> int:
+    """Query rows the kernel actually dispatches for this mode — the
+    long-query kernel rounds m up to a LONG_TILE_M multiple; honest
+    padded-cell accounting must count what ran, not what was asked."""
+    if mode == "tiles_long":
+        from swimm_tpu.ops.longquery import LONG_TILE_M
+        return -(-m_pad // LONG_TILE_M) * LONG_TILE_M
+    return m_pad
+
+
+def make_span_scorer(mode: str, r_cap: int, gap_open: int, gap_extend: int,
+                     precision: str):
+    """scorer(tiles, orow, qp) -> (r_cap+1, V) scores for one span, for
+    the given kernel mode (shared by both streaming drivers)."""
+    if mode == "tiles":
+        from swimm_tpu.ops.pallas_scorer import score_tiles
+        return lambda t, o, qp: score_tiles(
+            t, o, r_cap + 1, qp, gap_open, gap_extend, precision=precision)
+    if mode == "tiles_long":
+        from swimm_tpu.ops.longquery import score_tiles_long
+        return lambda t, o, qp: score_tiles_long(
+            t, o, r_cap + 1, qp, gap_open, gap_extend, precision=precision)
+    from swimm_tpu.ops.xla_scorer import score_tiles
+    return lambda t, o, qp: score_tiles(
+        t, o, r_cap + 1, qp, gap_open, gap_extend)
+
+
+def span_topk(scorer, tiles, orow, qps, g0, n_w, mask_p, l2s_p,
+              n_lanes: int, V: int, kk: int):
+    """The per-span candidate contract, traced inside both streaming
+    steps (unsharded jit and each sharded 'data' shard): score the span
+    against the profile stack, mask pad/ghost lanes via a dynamic slice
+    of the replicated global lane maps at the span's row offset, take the
+    per-query top-kk, map flat lane indices to sorted-db indices.
+
+    Masking invariant: rows >= n_w were never written by the kernel (no
+    tiles map there) — they are masked regardless of the global mask
+    slice, which at those offsets describes the NEXT span's lanes (n_w=0
+    masks a tail span entirely). This lives HERE, once: both postures'
+    exactness rests on the same argument (module docstring).
+
+    Returns (vals, idx): (Q, kk) scores + sorted-db indices."""
+    import jax
+    import jax.numpy as jnp
+
+    rows_of_lane = jnp.arange(n_lanes, dtype=jnp.int32) // V
+    off = g0 * V
+    mask_w = jax.lax.dynamic_slice(mask_p, (off,), (n_lanes,))
+    l2s_w = jax.lax.dynamic_slice(l2s_p, (off,), (n_lanes,))
+    mask_w = mask_w & (rows_of_lane < n_w)
+    vs, idxs = [], []
+    for qi in range(qps.shape[0]):
+        flat = scorer(tiles, orow, qps[qi]).reshape(-1)
+        v, i = jax.lax.top_k(jnp.where(mask_w, flat, -1), kk)
+        vs.append(v)
+        idxs.append(l2s_w[i])
+    return jnp.stack(vs), jnp.stack(idxs)
+
+
 def _window_step(packed, config, r_cap: int, mode: str, k: int):
     """Jitted per-window step: score the window against a STACK of query
     profiles, mask pad/ghost lanes, per-query top-k, map to sorted-db
     indices. Only (Q, kk) pairs leave the device per (window, group)."""
     import jax
-    import jax.numpy as jnp
 
     per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
     key = ("step", r_cap, mode, config.gap_open, config.gap_extend,
@@ -231,37 +323,13 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
     mask_p, l2s_p = _lane_maps_padded(packed, r_cap)
     prec = ("f32" if config.precision in ("adaptive", "ladder")
             else config.precision)
-    go, ge = config.gap_open, config.gap_extend
-    rows_of_lane = jnp.arange(n_lanes, dtype=jnp.int32) // V
-
-    if mode == "tiles":
-        from swimm_tpu.ops.pallas_scorer import score_tiles
-        scorer = lambda t, o, qp: score_tiles(t, o, r_cap + 1, qp, go, ge,
-                                              precision=prec)
-    elif mode == "tiles_long":
-        from swimm_tpu.ops.longquery import score_tiles_long
-        scorer = lambda t, o, qp: score_tiles_long(t, o, r_cap + 1, qp,
-                                                   go, ge, precision=prec)
-    else:
-        from swimm_tpu.ops.xla_scorer import score_tiles
-        scorer = lambda t, o, qp: score_tiles(t, o, r_cap + 1, qp, go, ge)
+    scorer = make_span_scorer(mode, r_cap, config.gap_open,
+                              config.gap_extend, prec)
 
     @jax.jit
     def step(tiles_w, orow_w, qps, g0, n_w):
-        off = g0 * V
-        mask_w = jax.lax.dynamic_slice(mask_p, (off,), (n_lanes,))
-        l2s_w = jax.lax.dynamic_slice(l2s_p, (off,), (n_lanes,))
-        # rows >= n_w were never written by the kernel (no tiles map
-        # there): mask them regardless of the global mask slice, which at
-        # those offsets describes the NEXT window's lanes
-        mask_w = mask_w & (rows_of_lane < n_w)
-        vs, idxs = [], []
-        for qi in range(qps.shape[0]):
-            flat = scorer(tiles_w, orow_w, qps[qi]).reshape(-1)
-            v, i = jax.lax.top_k(jnp.where(mask_w, flat, -1), kk)
-            vs.append(v)
-            idxs.append(l2s_w[i])
-        return jnp.stack(vs), jnp.stack(idxs)
+        return span_topk(scorer, tiles_w, orow_w, qps, g0, n_w,
+                         mask_p, l2s_p, n_lanes, V, kk)
 
     per_db[key] = step
     return step
@@ -280,8 +348,12 @@ def search_streaming_batch(packed, queries, config):
 
     from swimm_tpu.models.engine import (_hits_from, group_by_m_pad)
     from swimm_tpu.models.profile import build_query_profile
-    from swimm_tpu.ops import pallas_scorer
 
+    if config.query_pack:
+        raise ValueError(
+            "db_stream=True does not support query_pack=True: the "
+            "streaming path batches queries per padded length against "
+            "each window — set query_pack=False")
     if config.precision == "ladder":
         raise ValueError(
             "db_stream=True does not support precision='ladder': the "
@@ -302,21 +374,11 @@ def search_streaming_batch(packed, queries, config):
     group_steps = []
     padded_rows = 0
     for m_pad, positions in sorted(groups.items()):
-        if backend != "pallas":
-            mode = "tiles_xla"
-        elif m_pad <= pallas_scorer.max_query_pad():
-            mode = "tiles"
-        else:
-            mode = "tiles_long"
+        mode = select_mode(backend, m_pad)
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
-        if mode == "tiles_long":
-            from swimm_tpu.ops.longquery import LONG_TILE_M
-            m_disp = -(-m_pad // LONG_TILE_M) * LONG_TILE_M
-        else:
-            m_disp = m_pad
-        padded_rows += m_disp * len(positions)
+        padded_rows += dispatched_rows(mode, m_pad) * len(positions)
         step = _window_step(packed, config, r_cap, mode, config.top_k)
         group_steps.append((positions, qps, step))
 

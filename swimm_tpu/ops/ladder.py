@@ -309,8 +309,6 @@ def topk_db_adaptive_serving(packed, groups, k: int, gap_open: int,
                 break
             tier_handles = []          # (gi, q, pend, plan)
             for gi, (qps, lens) in enumerate(groups):
-                bounds = (np.minimum(np.asarray(lens, np.int64)[:, None],
-                                     blockmax[None, :]) * maxdiag)
                 for q in range(int(qps.shape[0])):
                     pend = pend_all[gi][q]
                     if not len(pend):

@@ -78,42 +78,20 @@ def _sharded_window_step(tiles_sh, orow_sh, g0s, n_ws, qps, mask_p, l2s_p,
     Returns (vals, idx): (Qp, n_data*kk) candidate scores + sorted-db
     indices, replicated over 'data'.
     """
+    from swimm_tpu.models.stream import make_span_scorer, span_topk
+
     n_data = mesh.shape["data"]
     V = tiles_sh.shape[-1]
     n_lanes = (r_cap + 1) * V
-    rows_of_lane = jnp.arange(n_lanes, dtype=jnp.int32) // V
-
-    if mode == "tiles":
-        from swimm_tpu.ops.pallas_scorer import score_tiles
-        scorer = lambda t, o, qp: score_tiles(
-            t, o, r_cap + 1, qp, gap_open, gap_extend, precision=precision)
-    elif mode == "tiles_long":
-        from swimm_tpu.ops.longquery import score_tiles_long
-        scorer = lambda t, o, qp: score_tiles_long(
-            t, o, r_cap + 1, qp, gap_open, gap_extend, precision=precision)
-    else:
-        from swimm_tpu.ops.xla_scorer import score_tiles
-        scorer = lambda t, o, qp: score_tiles(
-            t, o, r_cap + 1, qp, gap_open, gap_extend)
+    scorer = make_span_scorer(mode, r_cap, gap_open, gap_extend, precision)
 
     def local(tiles_l, orow_l, g0_l, n_w_l, qps_l):
-        tiles_l, orow_l = tiles_l[0], orow_l[0]
-        g0, n_w = g0_l[0], n_w_l[0]
-        off = g0 * V
-        mask_w = jax.lax.dynamic_slice(mask_p, (off,), (n_lanes,))
-        l2s_w = jax.lax.dynamic_slice(l2s_p, (off,), (n_lanes,))
-        # rows >= n_w were never written by the kernel: mask them
-        # regardless of the global map, which at those offsets describes
-        # the NEXT span's lanes (n_w=0 masks a tail span entirely)
-        mask_w = mask_w & (rows_of_lane < n_w)
-        vs, idxs = [], []
-        for qi in range(qps_l.shape[0]):
-            flat = scorer(tiles_l, orow_l, qps_l[qi]).reshape(-1)
-            v, i = jax.lax.top_k(jnp.where(mask_w, flat, -1), kk)
-            vs.append(v)
-            idxs.append(l2s_w[i])
-        v = jnp.stack(vs)                              # (Ql, kk)
-        gi = jnp.stack(idxs)
+        # the per-span scoring/masking/top-k contract is span_topk —
+        # shared verbatim with the unsharded streaming step, so the two
+        # postures' exactness argument stays one piece of code
+        v, gi = span_topk(scorer, tiles_l[0], orow_l[0], qps_l,
+                          g0_l[0], n_w_l[0], mask_p, l2s_p,
+                          n_lanes, V, kk)              # (Ql, kk)
         vg = jax.lax.all_gather(v, "data", axis=1)     # (Ql, n_data, kk)
         ig = jax.lax.all_gather(gi, "data", axis=1)
         Ql = vg.shape[0]
@@ -176,9 +154,9 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
     from swimm_tpu.models.engine import (QueryResult, SearchConfig,
                                          _hits_from, group_by_m_pad)
     from swimm_tpu.models.profile import build_query_profile
-    from swimm_tpu.models.stream import (_prefetch_iter, plan_windows,
+    from swimm_tpu.models.stream import (_prefetch_iter, dispatched_rows,
+                                         plan_windows, select_mode,
                                          stream_layout)
-    from swimm_tpu.ops import pallas_scorer
     from swimm_tpu.parallel.sharded_search import (_device_to_host,
                                                    pad_queries)
 
@@ -201,6 +179,11 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             return jax.make_array_from_callback(
                 arr.shape, sharding, lambda idx: arr[idx])
         return jax.device_put(arr, sharding)
+    if config.query_pack:
+        raise ValueError(
+            "sharded streaming does not support query_pack=True: queries "
+            "batch per padded length against each span — set "
+            "query_pack=False")
     if config.precision == "ladder":
         raise ValueError(
             "db_stream=True does not support precision='ladder' (see "
@@ -235,17 +218,12 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
         padded_rows = 0
         qspec = NamedSharding(mesh, P("query", None, None))
         for m_pad, positions in sorted(groups.items()):
-            if backend != "pallas":
-                mode = "tiles_xla"
-            elif m_pad <= pallas_scorer.max_query_pad():
-                mode = "tiles"
-            else:
-                mode = "tiles_long"
+            mode = select_mode(backend, m_pad)
             qps = np.stack([
                 build_query_profile(queries[p].codes, config.matrix, mm)
                 for p in positions])
             qps = put(pad_queries(qps, mesh), qspec)
-            padded_rows += m_pad * qps.shape[0]
+            padded_rows += dispatched_rows(mode, m_pad) * qps.shape[0]
             kwargs = dict(mesh=mesh, r_cap=r_cap, gap_open=config.gap_open,
                           gap_extend=config.gap_extend, mode=mode, kk=kk,
                           precision=precision)
