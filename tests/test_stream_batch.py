@@ -210,3 +210,48 @@ def test_stream_out_of_core_rss(tmp_path):
         f"streaming search grew RSS by {delta_kb} kB "
         f"(DB is {db_bytes >> 20} MB) — looks like the DB was "
         "materialized on the host")
+
+
+def test_prefetch_abandon_stops_producer():
+    # abandoning a half-consumed prefetch generator (consumer exception,
+    # GC) must stop the producer thread and its blocked q.put instead of
+    # leaking both for the process lifetime (review finding, round 3)
+    import threading
+    import time
+
+    from swimm_tpu.models.stream import _prefetch_iter
+
+    produced = []
+
+    def src():
+        for i in range(100_000):
+            produced.append(i)
+            yield i
+
+    before = set(threading.enumerate())
+    it = _prefetch_iter(src(), depth=2)
+    assert next(it) == 0
+    it.close()                          # GeneratorExit -> finally path
+    deadline = time.time() + 10.0
+    extra = True
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate() if t not in before]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"producer thread leaked: {extra}"
+    assert len(produced) < 100_000      # stopped early, not run to completion
+
+
+def test_prefetch_forwards_producer_exception():
+    from swimm_tpu.models.stream import _prefetch_iter
+
+    def src():
+        yield 1
+        raise RuntimeError("boom in producer")
+
+    it = _prefetch_iter(src(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        for _ in it:
+            pass
