@@ -15,7 +15,11 @@ dual-Xeon AVX2 whole-search figure (~100-200 GCUPS, BASELINE.md,
 unverified [paper-mem]) — i.e. one v5e chip vs the reference's whole node.
 
 Extra keys (same line): seq_scores/s and the roofline MFU figures from
-benchmarks/roofline.py (VERDICT r1 #5) — skipped if SWTPU_BENCH_NO_MFU=1.
+benchmarks/roofline.py (VERDICT r1 #5) — skipped if SWTPU_BENCH_NO_MFU=1 —
+plus the round-3 serving postures on the same DB/batch: window-major batch
+streaming (stream_gcups; DB crosses the link once per batch) and the
+adaptive-precision ladder (ladder_gcups), each with its fraction of the
+resident number — skipped if SWTPU_BENCH_NO_EXTRAS=1.
 
 The synthetic DB is cached at .bench_sp_*/ (shared with
 benchmarks/bench_swissprot.py) and compiled programs persist in
@@ -89,6 +93,27 @@ def main() -> int:
         "vs_baseline": round(gcups / 150.0, 2),
         "seq_scores_per_sec_M": round(best.seqs_per_sec / 1e6, 2),
     }
+    if on_tpu and not os.environ.get("SWTPU_BENCH_NO_EXTRAS"):
+        # round-3 postures on the same DB + batch (best of 2, warm)
+        try:
+            scfg = SearchConfig(top_k=16, db_stream=True, backend="pallas")
+            search(packed, queries, scfg)                  # warm compiles
+            m = min((search(packed, queries, scfg)[1] for _ in range(2)),
+                    key=lambda m: m.seconds)
+            out["stream_gcups"] = round(m.gcups, 1)
+            out["stream_frac_of_resident"] = round(m.gcups / gcups, 2)
+        except Exception as e:
+            out["stream_error"] = f"{type(e).__name__}: {e}"[:120]
+        try:
+            lcfg = SearchConfig(top_k=16, precision="ladder",
+                                backend="pallas")
+            search(packed, queries, lcfg)                  # warm compiles
+            m = min((search(packed, queries, lcfg)[1] for _ in range(2)),
+                    key=lambda m: m.seconds)
+            out["ladder_gcups"] = round(m.gcups, 1)
+            out["ladder_frac_of_resident"] = round(m.gcups / gcups, 2)
+        except Exception as e:
+            out["ladder_error"] = f"{type(e).__name__}: {e}"[:120]
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_MFU"):
         try:
             sys.path.insert(0, str(REPO / "benchmarks"))
