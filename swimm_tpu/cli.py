@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="host-side traceback: print a BLAST-style "
                          "alignment for every reported hit (extension — "
                          "the reference reports scores only)")
+    se.add_argument("--evalue", action="store_true",
+                    help="attach empirical E-values to hits, fitted from "
+                         "this search's own score distribution "
+                         "(utils/stats.py; extension — the reference "
+                         "reports raw scores only). Resident posture "
+                         "only: the null-model fit needs the full "
+                         "per-sequence score vector")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -242,6 +249,12 @@ def _run(args) -> int:
                 "--sharded --stream does not support --topk-per-shard: "
                 "the streamed super-window path takes top_k candidates "
                 "per span — drop --topk-per-shard")
+        if args.evalue and (args.sharded or args.stream or args.query_pack):
+            raise ValueError(
+                "--evalue runs the resident full-vector path (the "
+                "null-model fit needs every per-sequence score) and "
+                "does not combine with --sharded/--stream/--query-pack "
+                "— drop one side of the combination")
         packed = load_db(args.db)
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in
@@ -252,7 +265,8 @@ def _run(args) -> int:
                               gap_extend=args.gap_extend, top_k=args.top_k,
                               backend=args.backend, precision=args.precision,
                               query_pack=args.query_pack,
-                              db_stream=args.stream, **stream_kw)
+                              db_stream=args.stream, evalue=args.evalue,
+                              **stream_kw)
         prof = contextlib.nullcontext()
         if args.profile_dir:
             import jax
@@ -264,7 +278,8 @@ def _run(args) -> int:
                     search_streaming_sharded
                 results, metrics = search_streaming_sharded(
                     packed, queries, config,
-                    mesh=make_mesh(query_axis=args.query_axis or 1))
+                    mesh=make_mesh(query_axis=args.query_axis
+                                   if args.query_axis is not None else 1))
             elif args.sharded:
                 from swimm_tpu.parallel.mesh import make_mesh
                 from swimm_tpu.parallel.sharded_search import sharded_search
@@ -272,7 +287,9 @@ def _run(args) -> int:
                       if args.topk_per_shard is not None else {})
                 results, metrics = sharded_search(
                     packed, queries, config,
-                    mesh=make_mesh(query_axis=args.query_axis or 1), **kw)
+                    mesh=make_mesh(query_axis=args.query_axis
+                                   if args.query_axis is not None else 1),
+                    **kw)
             else:
                 results, metrics = search(packed, queries, config)
         if args.selfcheck:
@@ -312,7 +329,10 @@ def _run(args) -> int:
             out = {
                 "results": [{"query": r.query_title,
                              "hits": [{"rank": h.rank, "score": h.score,
-                                       "title": h.title} for h in r.hits]}
+                                       "title": h.title,
+                                       **({"evalue": h.evalue}
+                                          if h.evalue is not None else {})}
+                                      for h in r.hits]}
                             for r in results],
                 "metrics": json.loads(metrics.to_json()),
             }

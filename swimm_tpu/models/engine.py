@@ -60,6 +60,11 @@ class SearchConfig:
     window_tiles: int = 8192     # streaming window size (tiles); one
     # compiled kernel shape per distinct value
     max_in_flight: int = 2       # streaming windows alive on device
+    evalue: bool = False         # attach empirical E-values to hits
+    # (utils/stats.py). Extension beyond the reference (raw scores only,
+    # SURVEY.md section 3 C13): fits the search's own score distribution,
+    # so it needs the full per-sequence score vector — served by the
+    # full-vector path, resident posture only.
 
     def __post_init__(self):
         # gap_open >= 0 is LOAD-BEARING for exactness: the two-pass F
@@ -84,6 +89,15 @@ class SearchConfig:
             raise ValueError("window_tiles must be positive")
         if self.max_in_flight <= 0:
             raise ValueError("max_in_flight must be positive")
+        if self.evalue and self.db_stream:
+            raise ValueError(
+                "evalue statistics need the full per-sequence score "
+                "vector and are served by the resident full-vector path "
+                "— drop db_stream or evalue")
+        if self.evalue and self.query_pack:
+            raise ValueError(
+                "evalue statistics run the per-query full-vector path; "
+                "query_pack does not apply — drop query_pack or evalue")
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -98,6 +112,11 @@ class Hit:
     sorted_idx: int
     orig_idx: int
     title: str
+    evalue: float | None = None   # set only under SearchConfig.evalue
+
+
+def _fmt_evalue(e: float) -> str:
+    return f"{e:.2g}" if e < 0.1 else f"{e:.2f}"
 
 
 @dataclass
@@ -107,10 +126,16 @@ class QueryResult:
     hits: list
 
     def as_table(self) -> str:
+        with_e = any(h.evalue is not None for h in self.hits)
+        head = f"{'rank':>4} {'score':>7}"
+        head += f" {'E-value':>9}  title" if with_e else "  title"
         lines = [f"Query: {self.query_title} ({self.query_length} aa)",
-                 f"{'rank':>4} {'score':>7}  title"]
+                 head]
         for h in self.hits:
-            lines.append(f"{h.rank:>4} {h.score:>7}  {h.title}")
+            row = f"{h.rank:>4} {h.score:>7}"
+            if with_e:
+                row += f" {_fmt_evalue(h.evalue):>9}"
+            lines.append(f"{row}  {h.title}")
         return "\n".join(lines)
 
 
@@ -424,7 +449,6 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     Returns (hit lists in input order, padded query rows computed —
     the query-axis row count actually dispatched, for honest padded-cell
     accounting)."""
-    from swimm_tpu.ops import pallas_scorer
     backend = config.resolve_backend()
 
     if config.precision == "ladder":
@@ -442,24 +466,15 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     out = [None] * len(queries)
     pending = []
     padded_rows = 0
+    from swimm_tpu.models.stream import dispatched_rows, select_mode
     for m_pad, positions in groups.items():
-        if backend != "pallas":
-            mode = "tiles_xla"    # whole-DB ragged scan, one compiled shape
-        elif m_pad <= pallas_scorer.max_query_pad():
-            mode = "tiles"
-        else:
-            mode = "tiles_long"   # ragged long-query kernel, same DB tiles
+        mode = select_mode(backend, m_pad)
         dev = device_tiles(packed)[:2]
         step = _fused_search_step(packed, config, config.top_k, mode)
         qps = jnp.asarray(np.stack([
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
-        if mode == "tiles_long":
-            from swimm_tpu.ops.longquery import LONG_TILE_M
-            m_disp = -(-m_pad // LONG_TILE_M) * LONG_TILE_M
-        else:
-            m_disp = m_pad
-        padded_rows += m_disp * len(positions)
+        padded_rows += dispatched_rows(mode, m_pad) * len(positions)
         pending.append((positions, step(qps, *dev)))
     for positions, (vs, sis) in pending:
         # explicit device sync at the drain: timers around this path must
@@ -515,12 +530,12 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
         for row, p in enumerate(positions):
             v, si = cand[row]
             out[p] = _hits_from(packed, v, si, config.top_k)
+    from swimm_tpu.models.stream import dispatched_rows, select_mode
     for p in long_pos:
         svec = score_db(packed, queries[p], config)
         out[p] = top_k_hits(packed, svec, config.top_k)
-        from swimm_tpu.ops.longquery import LONG_TILE_M
         m_pad = -(-max(queries[p].length, 1) // mm) * mm
-        padded_rows += -(-m_pad // LONG_TILE_M) * LONG_TILE_M
+        padded_rows += dispatched_rows(select_mode(backend, m_pad), m_pad)
     return out, padded_rows
 
 
@@ -598,6 +613,20 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                 search_streaming_batch(packed, queries, config)
         results = [QueryResult(q.title, q.length, h)
                    for q, h in zip(queries, hit_lists)]
+    elif config.evalue:
+        # statistics posture: per-query full score vectors (the fused
+        # path returns only k candidates — the null-model fit needs the
+        # whole distribution, utils/stats.py), then E-values on the hits
+        from swimm_tpu.utils.stats import fit_evalue_model
+        with timer.phase("score"):
+            for q in queries:
+                svec = score_db(packed, q, config)
+                model = fit_evalue_model(svec, packed.lengths)
+                hits = top_k_hits(packed, svec, config.top_k)
+                for h in hits:
+                    h.evalue = float(model.evalue(
+                        h.score, int(packed.lengths[h.sorted_idx])))
+                results.append(QueryResult(q.title, q.length, hits))
     # serving fast path: queries batched into one fused dispatch per padded
     # profile length (or pack), device-side top-k; precision='ladder' runs
     # the batched tier-1 + union-recompute control flow inside

@@ -36,6 +36,8 @@ def make_mesh(n_devices: int | None = None, query_axis: int = 1) -> Mesh:
                 "available")
         devices = devices[:n_devices]
     n = len(devices)
+    if query_axis < 1:
+        raise ValueError(f"query_axis must be >= 1 (got {query_axis})")
     if n % query_axis:
         raise ValueError(f"{n} devices not divisible by query_axis={query_axis}")
     arr = np.array(devices).reshape(n // query_axis, query_axis)

@@ -1,0 +1,117 @@
+"""Empirical E-value statistics for local-alignment scores.
+
+Extension beyond the reference: SWIMM reports raw Smith-Waterman scores
+only (SURVEY.md section 3 C13 — "rank scores, resolve titles"); judging
+biological significance is left to the user. Production search tools
+(FASTA/SSEARCH) attach an expectation value to every hit. This module
+implements that the way SSEARCH does for *gapped* scores — where the
+analytic Karlin-Altschul K/lambda do not apply — by fitting the score
+distribution of the search itself:
+
+1.  Extreme-value theory: the optimal local alignment score of a random
+    (query, subject) pair follows a Gumbel distribution whose location
+    grows linearly in ln(subject length) (Karlin-Altschul asymptotics).
+2.  Robust fit: least-squares regression score ~ a + b*ln(len) over all
+    database sequences, iteratively censoring high outliers (true
+    homologs live in the right tail and must not bias the null model —
+    the same censored-fit idea as FASTA's maximum-likelihood Zscore
+    estimation, re-derived here from scratch).
+3.  Gumbel scale from the trimmed residual spread via the method of
+    moments: sd = beta*pi/sqrt(6), mean = gamma*beta (gamma =
+    Euler-Mascheroni), so a score s against a length-l sequence has
+        P(S >= s) = 1 - exp(-exp(-(s - a - b*ln(l) - mu)/beta))
+    and E = n_db * P — the expected number of database sequences
+    reaching s by chance alone.
+
+Everything is estimated from the data: no precomputed K/lambda tables,
+so the statistics stay honest for any matrix / gap-penalty combination
+the engine accepts (including ones no published table covers).
+
+The fit consumes the full per-sequence score vector, which the
+full-vector path (engine.score_db) already produces in sorted-db order
+alongside PackedDb.lengths. Cost: one (n_seqs,) int32 fetch plus O(n)
+host arithmetic — microseconds at Swiss-Prot scale next to the scoring
+itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_EULER_GAMMA = 0.5772156649015329
+# minimum surviving fraction: if censoring would discard more than half
+# the database the "null" fit would be fitting the homologs instead
+_MIN_KEEP_FRAC = 0.5
+
+
+@dataclass
+class EValueModel:
+    """Null model for one query against one database."""
+    a: float            # regression intercept: E[S] at ln(len) = 0
+    b: float            # regression slope vs ln(subject length)
+    mu: float           # Gumbel location of the residuals
+    beta: float         # Gumbel scale of the residuals
+    n_db: int           # database size the expectation refers to
+    n_censored: int     # sequences censored as right-tail outliers
+    n_iters: int        # censoring iterations until stable
+
+    def surprise(self, score, length) -> np.ndarray:
+        """Standardized Gumbel deviate u; P(S >= s) = 1 - exp(-exp(-u))."""
+        ln_l = np.log(np.maximum(np.asarray(length, np.float64), 1.0))
+        s = np.asarray(score, np.float64)
+        return (s - self.a - self.b * ln_l - self.mu) / max(self.beta, 1e-9)
+
+    def pvalue(self, score, length) -> np.ndarray:
+        """Per-pair tail probability, numerically stable in both tails."""
+        u = self.surprise(score, length)
+        # 1 - exp(-exp(-u)) == -expm1(-exp(-u)): exact for tiny exp(-u)
+        # (large scores), saturates to 1.0 for deep-left u — both correct
+        return -np.expm1(-np.exp(-u))
+
+    def evalue(self, score, length) -> np.ndarray:
+        """Expected chance hits >= score in a database of n_db seqs."""
+        return self.n_db * self.pvalue(score, length)
+
+
+def fit_evalue_model(scores: np.ndarray, lengths: np.ndarray,
+                     max_iters: int = 10) -> EValueModel:
+    """Fit the null model from one query's full score vector.
+
+    scores/lengths: per database sequence, any matching order. The fit
+    censors right-tail outliers (residual > 3 sd) iteratively so planted
+    or real homologs do not inflate the null — censoring only the RIGHT
+    tail is deliberate: low scores are legitimate null draws.
+    """
+    s = np.asarray(scores, np.float64).ravel()
+    x = np.log(np.maximum(np.asarray(lengths, np.float64).ravel(), 1.0))
+    if s.shape != x.shape:
+        raise ValueError(f"scores {s.shape} vs lengths {x.shape}")
+    if s.size < 8:
+        raise ValueError(f"need >= 8 sequences to fit statistics "
+                         f"(got {s.size})")
+    keep = np.ones(s.size, bool)
+    min_keep = max(8, int(_MIN_KEEP_FRAC * s.size))
+    a = b = sd = 0.0
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        xs, ss = x[keep], s[keep]
+        # closed-form simple linear regression on the surviving points
+        xm, sm = xs.mean(), ss.mean()
+        var = ((xs - xm) ** 2).mean()
+        b = 0.0 if var < 1e-12 else ((xs - xm) * (ss - sm)).mean() / var
+        a = sm - b * xm
+        resid = s - (a + b * x)
+        sd = max(float(resid[keep].std()), 1e-9)
+        new_keep = keep & (resid <= 3.0 * sd)
+        if new_keep.sum() < min_keep or bool((new_keep == keep).all()):
+            break
+        keep = new_keep
+    resid = s[keep] - (a + b * x[keep])
+    sd = max(float(resid.std()), 1e-9)
+    beta = sd * np.sqrt(6.0) / np.pi
+    mu = float(resid.mean()) - _EULER_GAMMA * beta
+    return EValueModel(a=float(a), b=float(b), mu=mu, beta=float(beta),
+                       n_db=s.size, n_censored=int(s.size - keep.sum()),
+                       n_iters=iters)

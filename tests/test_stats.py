@@ -1,0 +1,137 @@
+"""E-value statistics (utils/stats.py) — extension beyond the reference.
+
+Covers: parameter recovery on synthetic Gumbel draws, censoring
+robustness against planted homologs, the calibration property E[#hits
+with E <= x] ~= x on a real engine search over random sequences, and the
+CLI surface (--evalue column/JSON + posture-conflict validation).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from swimm_tpu.db import build_db
+from swimm_tpu.fasta import write_fasta
+from swimm_tpu.models.engine import SearchConfig, search
+from swimm_tpu.utils.stats import fit_evalue_model
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+def _gumbel_scores(rng, n, a=5.0, b=8.0, beta=4.0):
+    lengths = rng.integers(40, 2000, size=n)
+    mu_gumbel = 0.0
+    scores = (a + b * np.log(lengths)
+              + rng.gumbel(mu_gumbel, beta, size=n))
+    return np.round(scores), lengths
+
+
+def test_fit_recovers_parameters():
+    rng = np.random.default_rng(7)
+    scores, lengths = _gumbel_scores(rng, 6000, a=5.0, b=8.0, beta=4.0)
+    m = fit_evalue_model(scores, lengths)
+    # the right-tail censoring clips ~1-2% of legitimate Gumbel draws,
+    # biasing beta slightly low — accept 15% on scale, absolute on slope
+    assert abs(m.b - 8.0) < 1.0
+    assert abs(m.beta - 4.0) / 4.0 < 0.15
+    # location: E[gumbel(0, beta)] folds into a + mu; check the combined
+    # predicted mean score at a reference length
+    pred = m.a + m.b * np.log(500.0) + m.mu + 0.5772 * m.beta
+    true = 5.0 + 8.0 * np.log(500.0) + 0.5772 * 4.0
+    assert abs(pred - true) < 2.0
+
+
+def test_fit_censors_planted_homologs():
+    rng = np.random.default_rng(11)
+    scores, lengths = _gumbel_scores(rng, 4000, a=5.0, b=8.0, beta=4.0)
+    dirty = scores.copy()
+    dirty[:80] += 400.0          # 2% planted strong homologs
+    clean = fit_evalue_model(scores, lengths)
+    m = fit_evalue_model(dirty, lengths)
+    assert m.n_censored >= 80    # every plant censored (plus tail noise)
+    # null model essentially unchanged by the plants
+    assert abs(m.b - clean.b) < 0.5
+    assert abs(m.beta - clean.beta) / clean.beta < 0.10
+    # and the plants are judged significant under the fit
+    e_plant = m.evalue(dirty[0], lengths[0])
+    assert e_plant < 1e-6
+
+
+def test_fit_input_validation():
+    with pytest.raises(ValueError, match=">= 8"):
+        fit_evalue_model(np.arange(4), np.arange(4) + 30)
+    with pytest.raises(ValueError, match="scores"):
+        fit_evalue_model(np.arange(20), np.arange(10) + 30)
+
+
+@pytest.fixture(scope="module")
+def evalue_world(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("evalue")
+    queries = synth_queries(2, [64, 120], seed=91)
+    recs = synth_db(600, seed=92, median_len=120, sigma=0.6, max_len=900,
+                    queries=[queries[0].codes], homolog_frac=0.01)
+    packed = build_db(recs, tmp / "db", V=16)
+    return tmp, queries, packed
+
+
+def test_engine_evalue_calibration(evalue_world):
+    _, queries, packed = evalue_world
+    cfg = SearchConfig(backend="xla", top_k=600, evalue=True)
+    results, _ = search(packed, queries, cfg)
+    # query 0 has planted homologs: the top hit must be overwhelmingly
+    # significant; its score dwarfs the null
+    top = results[0].hits[0]
+    assert top.evalue is not None and top.evalue < 1e-4
+    # query 1 is random vs a random DB: calibration says the expected
+    # number of hits with E <= 1 is ~1 — allow Poisson + fit slack
+    e1 = sum(1 for h in results[1].hits if h.evalue <= 1.0)
+    assert e1 <= 8
+    # E-values are monotone nonincreasing in rank order at fixed length
+    # regime: at least globally the minimum E belongs to the top score
+    assert min(h.evalue for h in results[0].hits) == results[0].hits[0].evalue
+
+
+def test_engine_evalue_matches_plain_hits(evalue_world):
+    # the statistics posture must not change WHAT is reported — same
+    # ranked (score, title) lists as the default fused path
+    _, queries, packed = evalue_world
+    plain, _ = search(packed, queries, SearchConfig(backend="xla", top_k=10))
+    withe, _ = search(packed, queries,
+                      SearchConfig(backend="xla", top_k=10, evalue=True))
+    for rp, re_ in zip(plain, withe):
+        assert [(h.score, h.title) for h in rp.hits] == \
+               [(h.score, h.title) for h in re_.hits]
+        assert all(h.evalue is not None for h in re_.hits)
+
+
+def test_config_rejects_evalue_combinations():
+    with pytest.raises(ValueError, match="evalue"):
+        SearchConfig(evalue=True, db_stream=True)
+    with pytest.raises(ValueError, match="evalue"):
+        SearchConfig(evalue=True, query_pack=True)
+
+
+def test_cli_evalue(tmp_path, capsys):
+    from swimm_tpu.cli import main
+    queries = synth_queries(1, [50], seed=95)
+    recs = synth_db(80, seed=96, median_len=60, sigma=0.4, max_len=150,
+                    queries=[queries[0].codes], homolog_frac=0.1)
+    write_fasta(tmp_path / "db.fa", recs)
+    write_fasta(tmp_path / "q.fa", queries)
+    assert main(["preprocess", "-i", str(tmp_path / "db.fa"),
+                 "-o", str(tmp_path / "db"), "--lanes", "8"]) == 0
+    capsys.readouterr()
+    base = ["search", "-d", str(tmp_path / "db"),
+            "-q", str(tmp_path / "q.fa"), "--backend", "xla", "-r", "5"]
+    assert main(base + ["--evalue"]) == 0
+    out = capsys.readouterr().out
+    assert "E-value" in out
+    assert main(base + ["--evalue", "--json"]) == 0
+    payload = json.loads(capsys.readouterr().out)
+    hits = payload["results"][0]["hits"]
+    assert all("evalue" in h for h in hits)
+    # conflicts error loudly
+    for extra in (["--evalue", "--stream"],
+                  ["--evalue", "--sharded"],
+                  ["--evalue", "--query-pack"]):
+        assert main(base + extra) == 2, extra

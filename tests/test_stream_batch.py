@@ -121,6 +121,9 @@ def test_cli_posture_conflicts(tmp_path):
                   ["--sharded", "--stream", "--precision", "ladder"]):
         rc = main(base + extra)
         assert rc == 2, f"{extra} should be rejected, got rc={rc}"
+    # an explicit --query-axis 0 must error loudly, not silently coerce
+    # to the default mesh (regression: `or 1` swallowed the falsy 0)
+    assert main(base + ["--sharded", "--query-axis", "0"]) == 2
     # the supported forms still run (sharded x stream implemented in r3)
     assert main(base) == 0
     assert main(base + ["--stream", "--window-tiles", "64"]) == 0
