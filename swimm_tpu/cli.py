@@ -95,9 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="attach empirical E-values to hits, fitted from "
                          "this search's own score distribution "
                          "(utils/stats.py; extension — the reference "
-                         "reports raw scores only). Resident posture "
-                         "only: the null-model fit needs the full "
-                         "per-sequence score vector")
+                         "reports raw scores only). The serving path "
+                         "accumulates the score histogram on device; "
+                         "resident posture only")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")

@@ -216,7 +216,11 @@ def build_db(records, out_dir, V: int = 128, resume: bool = False,
     restartable).
     """
     if isinstance(records, (str, os.PathLike)):
-        if use_native:
+        from swimm_tpu.fasta import is_gzip
+        if use_native and not is_gzip(records):
+            # gzip inputs go through the Python parser (the native C
+            # packer reads the file directly; parity tests pin the two
+            # parsers to identical plain-text behavior)
             try:
                 from swimm_tpu import native
                 if native.available():

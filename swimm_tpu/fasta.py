@@ -32,8 +32,21 @@ class FastaRecord:
         return int(self.codes.shape[0])
 
 
+def is_gzip(path) -> bool:
+    """True if the file starts with the gzip magic (sniffed, not by
+    extension — Swiss-Prot mirrors ship .fasta.gz but users rename)."""
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
 def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
-    """Stream records from a FASTA file (path, or text handle)."""
+    """Stream records from a FASTA file (path, or text handle).
+
+    Gzip-compressed files are detected by magic bytes and decompressed
+    transparently (Swiss-Prot distributes .fasta.gz)."""
     own = False
     if isinstance(path_or_handle, (str, os.PathLike)):
         # newline="\n": disable universal-newline translation so a lone
@@ -41,7 +54,11 @@ def iter_fasta(path_or_handle) -> Iterator[FastaRecord]:
         # through the LUT, exactly like the native parser (csrc/swpack.c
         # splits on '\n' only); with default text mode the two encoders
         # could disagree on CR-only files (r2 review finding)
-        handle = open(path_or_handle, "r", newline="\n")
+        if is_gzip(path_or_handle):
+            import gzip
+            handle = gzip.open(path_or_handle, "rt", newline="\n")
+        else:
+            handle = open(path_or_handle, "r", newline="\n")
         own = True
     else:
         handle = path_or_handle  # caller-owned handle: caller's newline

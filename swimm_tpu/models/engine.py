@@ -62,9 +62,11 @@ class SearchConfig:
     max_in_flight: int = 2       # streaming windows alive on device
     evalue: bool = False         # attach empirical E-values to hits
     # (utils/stats.py). Extension beyond the reference (raw scores only,
-    # SURVEY.md section 3 C13): fits the search's own score distribution,
-    # so it needs the full per-sequence score vector — served by the
-    # full-vector path, resident posture only.
+    # SURVEY.md section 3 C13): fits the search's own score distribution.
+    # The fused serving path accumulates the per-query score histogram
+    # ON DEVICE (MXU one-hot matmuls) so only a (32, 512) count table
+    # crosses the link per query; precision='ladder' falls back to the
+    # per-query full-vector path. Resident posture only.
 
     def __post_init__(self):
         # gap_open >= 0 is LOAD-BEARING for exactness: the two-pass F
@@ -322,6 +324,44 @@ def scatter_lane_scores(packed: PackedDb, flat: np.ndarray) -> np.ndarray:
     return out
 
 
+def _device_score_hist(seg: np.ndarray, mask: np.ndarray,
+                       n_bins: int, n_scores: int):
+    """Build a device fn: flat lane scores -> (n_bins, n_scores) count
+    table, the sufficient statistic for the E-value null-model fit
+    (utils/stats.py). TPU-native formulation: scatter-add with 500k+
+    duplicate indices serializes on TPU, so the histogram is accumulated
+    as one-hot matmuls on the MXU — hist += onehot(bin).T @ onehot(score)
+    over fixed-size lane slices inside a lax.scan. Pad lanes carry
+    weight 0 via the mask."""
+    lanes_per = 16384
+    n = seg.shape[0]
+    n_pad = -(-n // lanes_per) * lanes_per
+    seg_p = np.zeros(n_pad, np.int32)
+    seg_p[:n] = seg
+    w_p = np.zeros(n_pad, np.float32)
+    w_p[:n] = mask.astype(np.float32)
+    seg_dev = jnp.asarray(seg_p.reshape(-1, lanes_per))
+    w_dev = jnp.asarray(w_p.reshape(-1, lanes_per))
+
+    def hist_of(flat_scores):
+        sc = jnp.clip(flat_scores, 0, n_scores - 1).astype(jnp.int32)
+        sc = jnp.pad(sc, (0, n_pad - n)).reshape(-1, lanes_per)
+
+        def body(acc, sl):
+            seg_sl, sc_sl, w_sl = sl
+            h1 = jax.nn.one_hot(seg_sl, n_bins,
+                                dtype=jnp.float32) * w_sl[:, None]
+            h2 = jax.nn.one_hot(sc_sl, n_scores, dtype=jnp.float32)
+            return acc + h1.T @ h2, None
+
+        hist, _ = jax.lax.scan(body, jnp.zeros((n_bins, n_scores),
+                                               jnp.float32),
+                               (seg_dev, sc, w_dev))
+        return hist
+
+    return hist_of
+
+
 def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
                        mode: str):
     """Build a jitted whole-DB search step: ONE device dispatch scores the
@@ -341,7 +381,8 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     """
     per_db = _SEARCH_STEP_CACHE.setdefault(packed, {})
     key = (config.gap_open, config.gap_extend,
-           config.resolve_backend(), config.precision, k, mode)
+           config.resolve_backend(), config.precision, k, mode,
+           config.evalue)
     hit = per_db.get(key)
     if hit is not None:
         return hit
@@ -351,6 +392,15 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
     total = mask.shape[0]
     mask_dev = jnp.asarray(mask)
     lane2sorted_dev = jnp.asarray(lane2sorted)
+    hist_of = None
+    if config.evalue:
+        # statistics posture: also accumulate the per-query score
+        # histogram on device (utils/stats.py binned null-model fit)
+        from swimm_tpu.utils import stats
+        bin_ids, _ = stats.length_bins(packed.lengths)
+        hist_of = _device_score_hist(bin_ids[lane2sorted], mask,
+                                     stats.N_LEN_BINS,
+                                     stats.SCORE_CAP + 1)
 
     from swimm_tpu.ops import longquery, pallas_scorer, xla_scorer
     _, _, n_rows = packed.flat_tiles()
@@ -377,13 +427,17 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
                     tiles, outrow, n_rows, qp,
                     config.gap_open, config.gap_extend).reshape(-1)
             scores = jnp.where(mask_dev, flat, -1)
-            return jax.lax.top_k(scores, min(k, total))
+            return jax.lax.top_k(scores, min(k, total)), scores
 
-        vs, idxs = [], []
+        vs, idxs, hists = [], [], []
         for qi in range(qps.shape[0]):
-            v, i = one(qps[qi])
+            (v, i), scores = one(qps[qi])
             vs.append(v)
             idxs.append(lane2sorted_dev[i])
+            if hist_of is not None:
+                hists.append(hist_of(scores))
+        if hist_of is not None:
+            return jnp.stack(vs), jnp.stack(idxs), jnp.stack(hists)
         return jnp.stack(vs), jnp.stack(idxs)
 
     per_db[key] = step
@@ -476,14 +530,23 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
             for p in positions]))
         padded_rows += dispatched_rows(mode, m_pad) * len(positions)
         pending.append((positions, step(qps, *dev)))
-    for positions, (vs, sis) in pending:
+    if config.evalue:
+        from swimm_tpu.utils import stats
+        _, bin_logl = stats.length_bins(packed.lengths)
+    for positions, res in pending:
         # explicit device sync at the drain: timers around this path must
         # never report un-synced GCUPS even if the np.asarray below is ever
         # refactored away (VERDICT r1 weak #7)
-        vs = np.asarray(jax.block_until_ready(vs))
-        sis = np.asarray(sis)
+        vs = np.asarray(jax.block_until_ready(res[0]))
+        sis = np.asarray(res[1])
+        hists = np.asarray(res[2]) if config.evalue else None
         for row, p in enumerate(positions):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
+            if hists is not None:
+                model = stats.fit_evalue_model_hist(hists[row], bin_logl)
+                for h in out[p]:
+                    h.evalue = float(model.evalue(
+                        h.score, int(packed.lengths[h.sorted_idx])))
     return out, padded_rows
 
 
@@ -613,10 +676,12 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                 search_streaming_batch(packed, queries, config)
         results = [QueryResult(q.title, q.length, h)
                    for q, h in zip(queries, hit_lists)]
-    elif config.evalue:
-        # statistics posture: per-query full score vectors (the fused
-        # path returns only k candidates — the null-model fit needs the
-        # whole distribution, utils/stats.py), then E-values on the hits
+    elif config.evalue and config.precision == "ladder":
+        # ladder x statistics: the ladder candidate path returns no
+        # score distribution, so fall back to per-query full vectors
+        # (score_db serves the ladder exactly) + the unbinned fit. The
+        # default statistics posture stays on the fused path below,
+        # which accumulates the histogram on device.
         from swimm_tpu.utils.stats import fit_evalue_model
         with timer.phase("score"):
             for q in queries:

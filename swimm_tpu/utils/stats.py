@@ -75,6 +75,46 @@ class EValueModel:
         return self.n_db * self.pvalue(score, length)
 
 
+def _fit_censored(x: np.ndarray, s: np.ndarray, w: np.ndarray,
+                  max_iters: int = 10):
+    """Weighted censored fit shared by the full-vector and histogram
+    paths: iterative weighted least squares of s ~ a + b*x with
+    right-tail censoring (residual > 3 sd), then Gumbel moments on the
+    surviving weighted residuals. w is the multiplicity of each (x, s)
+    point (1.0 for raw vectors; bin counts for histograms)."""
+    n_total = float(w.sum())
+    keep = np.ones(s.size, bool)
+    min_keep = max(8.0, _MIN_KEEP_FRAC * n_total)
+    a = b = 0.0
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        wk = w * keep
+        n = wk.sum()
+        xm = (wk * x).sum() / n
+        sm = (wk * s).sum() / n
+        var = (wk * (x - xm) ** 2).sum() / n
+        b = 0.0 if var < 1e-12 else \
+            (wk * (x - xm) * (s - sm)).sum() / n / var
+        a = sm - b * xm
+        resid = s - (a + b * x)
+        sd = max(float(np.sqrt((wk * resid ** 2).sum() / n
+                               - ((wk * resid).sum() / n) ** 2)), 1e-9)
+        new_keep = keep & (resid <= 3.0 * sd)
+        if (w * new_keep).sum() < min_keep \
+                or bool((new_keep == keep).all()):
+            break
+        keep = new_keep
+    wk = w * keep
+    n = wk.sum()
+    resid = s - (a + b * x)
+    rm = (wk * resid).sum() / n
+    sd = max(float(np.sqrt((wk * resid ** 2).sum() / n - rm ** 2)), 1e-9)
+    beta = sd * np.sqrt(6.0) / np.pi
+    mu = rm - _EULER_GAMMA * beta
+    return (float(a), float(b), float(mu), float(beta),
+            int(round(n_total - (w * keep).sum())), iters)
+
+
 def fit_evalue_model(scores: np.ndarray, lengths: np.ndarray,
                      max_iters: int = 10) -> EValueModel:
     """Fit the null model from one query's full score vector.
@@ -91,27 +131,62 @@ def fit_evalue_model(scores: np.ndarray, lengths: np.ndarray,
     if s.size < 8:
         raise ValueError(f"need >= 8 sequences to fit statistics "
                          f"(got {s.size})")
-    keep = np.ones(s.size, bool)
-    min_keep = max(8, int(_MIN_KEEP_FRAC * s.size))
-    a = b = sd = 0.0
-    iters = 0
-    for iters in range(1, max_iters + 1):
-        xs, ss = x[keep], s[keep]
-        # closed-form simple linear regression on the surviving points
-        xm, sm = xs.mean(), ss.mean()
-        var = ((xs - xm) ** 2).mean()
-        b = 0.0 if var < 1e-12 else ((xs - xm) * (ss - sm)).mean() / var
-        a = sm - b * xm
-        resid = s - (a + b * x)
-        sd = max(float(resid[keep].std()), 1e-9)
-        new_keep = keep & (resid <= 3.0 * sd)
-        if new_keep.sum() < min_keep or bool((new_keep == keep).all()):
-            break
-        keep = new_keep
-    resid = s[keep] - (a + b * x[keep])
-    sd = max(float(resid.std()), 1e-9)
-    beta = sd * np.sqrt(6.0) / np.pi
-    mu = float(resid.mean()) - _EULER_GAMMA * beta
-    return EValueModel(a=float(a), b=float(b), mu=mu, beta=float(beta),
-                       n_db=s.size, n_censored=int(s.size - keep.sum()),
-                       n_iters=iters)
+    a, b, mu, beta, n_cens, iters = _fit_censored(
+        x, s, np.ones_like(s), max_iters)
+    return EValueModel(a=a, b=b, mu=mu, beta=beta, n_db=s.size,
+                       n_censored=n_cens, n_iters=iters)
+
+
+# ---------------------------------------------------------------------
+# Histogram (device-side sufficient statistics) path: the fused serving
+# step bins sequences by ln(length) and accumulates a per-query unit-
+# score histogram ON DEVICE (MXU one-hot matmuls) — only the (n_bins,
+# n_scores) count table crosses the link, not the (n_seqs,) vector.
+# ---------------------------------------------------------------------
+
+N_LEN_BINS = 32      # ln-length resolution of the binned fit
+SCORE_CAP = 511      # scores clip here on device; anything this high is
+# far outside the null right-tail cut and lands in the censored set, so
+# clipping cannot perturb the surviving fit
+
+
+def length_bins(lengths: np.ndarray, n_bins: int = N_LEN_BINS):
+    """Per-sequence ln-length bin ids + each bin's mean ln(length).
+
+    Bins are equal-width in ln(l) over the observed range; empty bins
+    get weight 0 in the fit, so their placeholder center is irrelevant.
+    """
+    ln_l = np.log(np.maximum(np.asarray(lengths, np.float64), 1.0))
+    lo, hi = float(ln_l.min()), float(ln_l.max())
+    width = max((hi - lo) / n_bins, 1e-9)
+    ids = np.minimum(((ln_l - lo) / width).astype(np.int32), n_bins - 1)
+    centers = np.zeros(n_bins)
+    counts = np.bincount(ids, minlength=n_bins)
+    sums = np.bincount(ids, weights=ln_l, minlength=n_bins)
+    nz = counts > 0
+    centers[nz] = sums[nz] / counts[nz]
+    return ids, centers
+
+
+def fit_evalue_model_hist(hist: np.ndarray, bin_logl: np.ndarray,
+                          max_iters: int = 10) -> EValueModel:
+    """Fit the null model from a (n_bins, n_scores) count table.
+
+    hist[b, s] = number of database sequences in ln-length bin b whose
+    score is s (clipped at the table edge). Identical estimator to
+    fit_evalue_model up to the ln-length discretization (each member
+    uses its bin's mean ln(l) as the regressor — <1% slope error at 32
+    bins over a 40x length range)."""
+    hist = np.asarray(hist, np.float64)
+    n_bins, n_scores = hist.shape
+    n_db = float(hist.sum())
+    if n_db < 8:
+        raise ValueError(f"need >= 8 sequences to fit statistics "
+                         f"(got {int(n_db)})")
+    cells = np.nonzero(hist > 0)
+    x = np.asarray(bin_logl, np.float64)[cells[0]]
+    s = cells[1].astype(np.float64)
+    w = hist[cells]
+    a, b, mu, beta, n_cens, iters = _fit_censored(x, s, w, max_iters)
+    return EValueModel(a=a, b=b, mu=mu, beta=beta, n_db=int(n_db),
+                       n_censored=n_cens, n_iters=iters)

@@ -211,6 +211,38 @@ def test_parser_parity_adversarial_fasta(tmp_path):
                 err_msg=f"{name}[{i}]")
 
 
+def test_gzip_fasta_transparent(tmp_path):
+    # Swiss-Prot ships .fasta.gz: reading and preprocessing a gzipped
+    # file must give byte-identical results to the plain file (gzip is
+    # sniffed by magic, not extension; the native packer is bypassed)
+    import gzip
+
+    from swimm_tpu.db import build_db
+    from swimm_tpu.fasta import is_gzip, read_fasta, write_fasta
+    from swimm_tpu.utils.synth import synth_db
+
+    recs = synth_db(60, seed=77, median_len=50, sigma=0.4, max_len=120)
+    plain = tmp_path / "db.fasta"
+    write_fasta(plain, recs)
+    gz = tmp_path / "renamed.fasta"          # deliberately NOT .gz
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    assert is_gzip(gz) and not is_gzip(plain)
+
+    py_plain = read_fasta(str(plain))
+    py_gz = read_fasta(str(gz))
+    assert len(py_plain) == len(py_gz) == 60
+    for a, b in zip(py_plain, py_gz):
+        assert a.title == b.title
+        np.testing.assert_array_equal(a.codes, b.codes)
+
+    p1 = build_db(str(plain), tmp_path / "p1", V=8)
+    p2 = build_db(str(gz), tmp_path / "p2", V=8)
+    assert p1.n_seqs == p2.n_seqs
+    t1, _, _ = p1.flat_tiles()
+    t2, _, _ = p2.flat_tiles()
+    np.testing.assert_array_equal(t1, t2)
+
+
 def test_parser_rejects_data_before_header(tmp_path):
     pytest = __import__("pytest")
     from swimm_tpu.fasta import read_fasta

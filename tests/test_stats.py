@@ -57,6 +57,28 @@ def test_fit_censors_planted_homologs():
     assert e_plant < 1e-6
 
 
+def test_hist_fit_matches_full_fit():
+    # the binned estimator (device-side sufficient statistics) must agree
+    # with the full-vector fit up to ln-length discretization
+    from swimm_tpu.utils.stats import (N_LEN_BINS, SCORE_CAP,
+                                       fit_evalue_model_hist, length_bins)
+    rng = np.random.default_rng(13)
+    scores, lengths = _gumbel_scores(rng, 5000, a=5.0, b=8.0, beta=4.0)
+    scores = np.clip(scores, 0, SCORE_CAP)
+    full = fit_evalue_model(scores, lengths)
+    ids, centers = length_bins(lengths)
+    hist = np.zeros((N_LEN_BINS, SCORE_CAP + 1))
+    np.add.at(hist, (ids, scores.astype(int)), 1.0)
+    binned = fit_evalue_model_hist(hist, centers)
+    assert binned.n_db == full.n_db
+    assert abs(binned.b - full.b) < 0.3
+    assert abs(binned.beta - full.beta) / full.beta < 0.05
+    # E-values agree within a few % in log space at a probe point
+    e_f = full.evalue(120, 400)
+    e_b = binned.evalue(120, 400)
+    assert abs(np.log(e_b) - np.log(e_f)) < 0.25
+
+
 def test_fit_input_validation():
     with pytest.raises(ValueError, match=">= 8"):
         fit_evalue_model(np.arange(4), np.arange(4) + 30)
@@ -102,6 +124,25 @@ def test_engine_evalue_matches_plain_hits(evalue_world):
         assert [(h.score, h.title) for h in rp.hits] == \
                [(h.score, h.title) for h in re_.hits]
         assert all(h.evalue is not None for h in re_.hits)
+
+
+def test_fused_evalue_close_to_full_vector(evalue_world):
+    # default statistics posture (fused path + device histogram) vs the
+    # ladder fallback (per-query full vector + unbinned fit): same hit
+    # lists, E-values within discretization tolerance in log space
+    _, queries, packed = evalue_world
+    fused, _ = search(packed, queries,
+                      SearchConfig(backend="xla", top_k=8, evalue=True))
+    full, _ = search(packed, queries,
+                     SearchConfig(backend="xla", top_k=8, evalue=True,
+                                  precision="ladder"))
+    for rf, rl in zip(fused, full):
+        assert [(h.score, h.title) for h in rf.hits] == \
+               [(h.score, h.title) for h in rl.hits]
+        for hf, hl in zip(rf.hits, rl.hits):
+            assert abs(np.log(max(hf.evalue, 1e-300))
+                       - np.log(max(hl.evalue, 1e-300))) < 0.5, \
+                (hf.evalue, hl.evalue)
 
 
 def test_config_rejects_evalue_combinations():
