@@ -97,7 +97,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "(utils/stats.py; extension — the reference "
                          "reports raw scores only). The serving path "
                          "accumulates the score histogram on device; "
-                         "resident posture only")
+                         "works resident and --stream, not --sharded")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -249,12 +249,12 @@ def _run(args) -> int:
                 "--sharded --stream does not support --topk-per-shard: "
                 "the streamed super-window path takes top_k candidates "
                 "per span — drop --topk-per-shard")
-        if args.evalue and (args.sharded or args.stream or args.query_pack):
+        if args.evalue and (args.sharded or args.query_pack):
             raise ValueError(
-                "--evalue runs the resident full-vector path (the "
-                "null-model fit needs every per-sequence score) and "
-                "does not combine with --sharded/--stream/--query-pack "
-                "— drop one side of the combination")
+                "--evalue is served by the unsharded resident and "
+                "streaming postures; it does not combine with "
+                "--sharded/--query-pack — drop one side of the "
+                "combination")
         packed = load_db(args.db)
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in

@@ -91,11 +91,6 @@ class SearchConfig:
             raise ValueError("window_tiles must be positive")
         if self.max_in_flight <= 0:
             raise ValueError("max_in_flight must be positive")
-        if self.evalue and self.db_stream:
-            raise ValueError(
-                "evalue statistics need the full per-sequence score "
-                "vector and are served by the resident full-vector path "
-                "— drop db_stream or evalue")
         if self.evalue and self.query_pack:
             raise ValueError(
                 "evalue statistics run the per-query full-vector path; "
@@ -324,42 +319,47 @@ def scatter_lane_scores(packed: PackedDb, flat: np.ndarray) -> np.ndarray:
     return out
 
 
+def hist_from_scores(flat_scores, seg, w, n_bins: int, n_scores: int):
+    """Traced score histogram: (n,) lane scores + (n,) length-bin ids +
+    (n,) weights -> (n_bins, n_scores) count table, the sufficient
+    statistic for the E-value null-model fit (utils/stats.py).
+
+    TPU-native formulation: scatter-add with 500k+ duplicate indices
+    serializes on TPU, so the histogram is accumulated as one-hot
+    matmuls on the MXU — hist += onehot(bin).T @ onehot(score) over
+    fixed-size lane slices inside a lax.scan. Pad/ghost lanes carry
+    weight 0. Shared by the resident fused step and the streaming
+    per-window step (models/stream.py)."""
+    lanes_per = 16384
+    n = flat_scores.shape[0]
+    n_pad = -(-n // lanes_per) * lanes_per
+    sc = jnp.clip(flat_scores, 0, n_scores - 1).astype(jnp.int32)
+    sc = jnp.pad(sc, (0, n_pad - n)).reshape(-1, lanes_per)
+    seg = jnp.pad(seg.astype(jnp.int32),
+                  (0, n_pad - n)).reshape(-1, lanes_per)
+    w = jnp.pad(w.astype(jnp.float32),
+                (0, n_pad - n)).reshape(-1, lanes_per)
+
+    def body(acc, sl):
+        seg_sl, sc_sl, w_sl = sl
+        h1 = jax.nn.one_hot(seg_sl, n_bins,
+                            dtype=jnp.float32) * w_sl[:, None]
+        h2 = jax.nn.one_hot(sc_sl, n_scores, dtype=jnp.float32)
+        return acc + h1.T @ h2, None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros((n_bins, n_scores),
+                                           jnp.float32), (seg, sc, w))
+    return hist
+
+
 def _device_score_hist(seg: np.ndarray, mask: np.ndarray,
                        n_bins: int, n_scores: int):
-    """Build a device fn: flat lane scores -> (n_bins, n_scores) count
-    table, the sufficient statistic for the E-value null-model fit
-    (utils/stats.py). TPU-native formulation: scatter-add with 500k+
-    duplicate indices serializes on TPU, so the histogram is accumulated
-    as one-hot matmuls on the MXU — hist += onehot(bin).T @ onehot(score)
-    over fixed-size lane slices inside a lax.scan. Pad lanes carry
-    weight 0 via the mask."""
-    lanes_per = 16384
-    n = seg.shape[0]
-    n_pad = -(-n // lanes_per) * lanes_per
-    seg_p = np.zeros(n_pad, np.int32)
-    seg_p[:n] = seg
-    w_p = np.zeros(n_pad, np.float32)
-    w_p[:n] = mask.astype(np.float32)
-    seg_dev = jnp.asarray(seg_p.reshape(-1, lanes_per))
-    w_dev = jnp.asarray(w_p.reshape(-1, lanes_per))
-
-    def hist_of(flat_scores):
-        sc = jnp.clip(flat_scores, 0, n_scores - 1).astype(jnp.int32)
-        sc = jnp.pad(sc, (0, n_pad - n)).reshape(-1, lanes_per)
-
-        def body(acc, sl):
-            seg_sl, sc_sl, w_sl = sl
-            h1 = jax.nn.one_hot(seg_sl, n_bins,
-                                dtype=jnp.float32) * w_sl[:, None]
-            h2 = jax.nn.one_hot(sc_sl, n_scores, dtype=jnp.float32)
-            return acc + h1.T @ h2, None
-
-        hist, _ = jax.lax.scan(body, jnp.zeros((n_bins, n_scores),
-                                               jnp.float32),
-                               (seg_dev, sc, w_dev))
-        return hist
-
-    return hist_of
+    """Close hist_from_scores over device copies of the whole-DB lane
+    bin ids + validity weights (resident fused path)."""
+    seg_dev = jnp.asarray(seg.astype(np.int32))
+    w_dev = jnp.asarray(mask.astype(np.float32))
+    return lambda flat_scores: hist_from_scores(
+        flat_scores, seg_dev, w_dev, n_bins, n_scores)
 
 
 def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,

@@ -234,6 +234,28 @@ def _lane_maps_padded(packed, r_cap: int):
     return hit
 
 
+def _seg_padded(packed, r_cap: int):
+    """Device copy of the global per-lane ln-length bin ids (E-value
+    statistics), padded like _lane_maps_padded so window-local
+    dynamic_slices never clamp. Pad/invalid lanes read bin 0 — they
+    carry weight 0 through the mask."""
+    import jax.numpy as jnp
+
+    from swimm_tpu.utils import stats
+    per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
+    key = ("seg_map", r_cap)
+    hit = per_db.get(key)
+    if hit is None:
+        mask, l2s = packed.lane_maps()
+        bin_ids, _ = stats.length_bins(packed.lengths)
+        seg = np.where(mask, bin_ids[l2s], 0).astype(np.int32)
+        V = int(packed.manifest["V"])
+        seg_p = np.concatenate([seg, np.zeros((r_cap + 1) * V, np.int32)])
+        hit = jnp.asarray(seg_p)
+        per_db[key] = hit
+    return hit
+
+
 def select_mode(backend: str, m_pad: int) -> str:
     """Kernel mode for one padded-length group — the single decision
     point shared by the streaming and sharded-streaming drivers."""
@@ -273,7 +295,7 @@ def make_span_scorer(mode: str, r_cap: int, gap_open: int, gap_extend: int,
 
 
 def span_topk(scorer, tiles, orow, qps, g0, n_w, mask_p, l2s_p,
-              n_lanes: int, V: int, kk: int):
+              n_lanes: int, V: int, kk: int, seg_p=None):
     """The per-span candidate contract, traced inside both streaming
     steps (unsharded jit and each sharded 'data' shard): score the span
     against the profile stack, mask pad/ghost lanes via a dynamic slice
@@ -286,6 +308,12 @@ def span_topk(scorer, tiles, orow, qps, g0, n_w, mask_p, l2s_p,
     masks a tail span entirely). This lives HERE, once: both postures'
     exactness rests on the same argument (module docstring).
 
+    With seg_p (padded global ln-length bin ids, E-value statistics),
+    also accumulates each query's span score histogram on device and
+    returns (vals, idx, hists) — summing span histograms over every
+    window reproduces exactly the whole-DB histogram the resident fused
+    path computes, because the masked spans partition the valid lanes.
+
     Returns (vals, idx): (Q, kk) scores + sorted-db indices."""
     import jax
     import jax.numpy as jnp
@@ -295,12 +323,22 @@ def span_topk(scorer, tiles, orow, qps, g0, n_w, mask_p, l2s_p,
     mask_w = jax.lax.dynamic_slice(mask_p, (off,), (n_lanes,))
     l2s_w = jax.lax.dynamic_slice(l2s_p, (off,), (n_lanes,))
     mask_w = mask_w & (rows_of_lane < n_w)
-    vs, idxs = [], []
+    if seg_p is not None:
+        from swimm_tpu.models.engine import hist_from_scores
+        from swimm_tpu.utils import stats
+        seg_w = jax.lax.dynamic_slice(seg_p, (off,), (n_lanes,))
+    vs, idxs, hists = [], [], []
     for qi in range(qps.shape[0]):
         flat = scorer(tiles, orow, qps[qi]).reshape(-1)
         v, i = jax.lax.top_k(jnp.where(mask_w, flat, -1), kk)
         vs.append(v)
         idxs.append(l2s_w[i])
+        if seg_p is not None:
+            hists.append(hist_from_scores(
+                flat, seg_w, mask_w.astype(jnp.float32),
+                stats.N_LEN_BINS, stats.SCORE_CAP + 1))
+    if seg_p is not None:
+        return jnp.stack(vs), jnp.stack(idxs), jnp.stack(hists)
     return jnp.stack(vs), jnp.stack(idxs)
 
 
@@ -312,7 +350,7 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
 
     per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
     key = ("step", r_cap, mode, config.gap_open, config.gap_extend,
-           config.precision, k)
+           config.precision, k, config.evalue)
     hit = per_db.get(key)
     if hit is not None:
         return hit
@@ -321,6 +359,7 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
     n_lanes = (r_cap + 1) * V
     kk = min(k, n_lanes)
     mask_p, l2s_p = _lane_maps_padded(packed, r_cap)
+    seg_p = _seg_padded(packed, r_cap) if config.evalue else None
     prec = ("f32" if config.precision in ("adaptive", "ladder")
             else config.precision)
     scorer = make_span_scorer(mode, r_cap, config.gap_open,
@@ -329,7 +368,7 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
     @jax.jit
     def step(tiles_w, orow_w, qps, g0, n_w):
         return span_topk(scorer, tiles_w, orow_w, qps, g0, n_w,
-                         mask_p, l2s_p, n_lanes, V, kk)
+                         mask_p, l2s_p, n_lanes, V, kk, seg_p=seg_p)
 
     per_db[key] = step
     return step
@@ -386,14 +425,19 @@ def search_streaming_batch(packed, queries, config):
     # max_in_flight windows of device memory alive
     from collections import deque
     cands = [[] for _ in queries]                 # per query: (vals, idx)
+    hist_sum = ([0.0] * len(queries)) if config.evalue else None
     pending: "deque" = deque()
 
     def drain():
-        for positions, (v, i) in pending.popleft():
-            v = np.asarray(jax.block_until_ready(v))
-            i = np.asarray(i)
+        for positions, res in pending.popleft():
+            v = np.asarray(jax.block_until_ready(res[0]))
+            i = np.asarray(res[1])
             for row, p in enumerate(positions):
                 cands[p].append((v[row], i[row]))
+            if config.evalue:
+                h = np.asarray(res[2])            # (Q, bins, scores)
+                for row, p in enumerate(positions):
+                    hist_sum[p] = hist_sum[p] + h[row]
 
     for win, orow, g0, n_w, _rc in prefetch_windows(
             packed, config.window_tiles, jt, depth=config.max_in_flight):
@@ -410,15 +454,26 @@ def search_streaming_batch(packed, queries, config):
 
     # host merge: global (score desc, sorted-index asc) over the union of
     # per-window candidates — contains the global top-k (module docstring)
+    if config.evalue:
+        from swimm_tpu.utils import stats
+        _, bin_logl = stats.length_bins(packed.lengths)
     hit_lists = []
-    for q_cands in cands:
+    for p, q_cands in enumerate(cands):
         if not q_cands:
             hit_lists.append([])
             continue
         v = np.concatenate([c[0] for c in q_cands])
         i = np.concatenate([c[1] for c in q_cands])
         order = np.lexsort((i, -v))
-        hit_lists.append(_hits_from(packed, v[order], i[order],
-                                    config.top_k))
+        hits = _hits_from(packed, v[order], i[order], config.top_k)
+        if config.evalue:
+            # windowed histograms sum to exactly the whole-DB histogram
+            # (masked spans partition the valid lanes) — same null model
+            # as the resident statistics posture
+            model = stats.fit_evalue_model_hist(hist_sum[p], bin_logl)
+            for h in hits:
+                h.evalue = float(model.evalue(
+                    h.score, int(packed.lengths[h.sorted_idx])))
+        hit_lists.append(hits)
     lane_positions = len(spans) * config.window_tiles * jt * V
     return hit_lists, padded_rows, lane_positions

@@ -290,6 +290,11 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         mesh = make_mesh()
     if config.top_k > topk_per_shard:
         raise ValueError("top_k must be <= topk_per_shard for exact merge")
+    if config.evalue:
+        raise ValueError(
+            "sharded search does not support evalue=True yet (the "
+            "unsharded resident and streaming postures do) — drop one "
+            "side of the combination")
     backend = config.resolve_backend()
     timer = PhaseTimer()
     t0 = time.perf_counter()

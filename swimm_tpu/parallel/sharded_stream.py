@@ -189,6 +189,11 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             "db_stream=True does not support precision='ladder' (see "
             "models/stream.py) — use precision='adaptive': identical "
             "scores via the exact pass")
+    if config.evalue:
+        raise ValueError(
+            "sharded streaming does not support evalue=True yet (the "
+            "unsharded resident and streaming postures do) — drop one "
+            "side of the combination")
     backend = config.resolve_backend()
     precision = ("f32" if config.precision in ("adaptive", "ladder")
                  else config.precision)

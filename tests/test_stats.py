@@ -147,9 +147,25 @@ def test_fused_evalue_close_to_full_vector(evalue_world):
 
 def test_config_rejects_evalue_combinations():
     with pytest.raises(ValueError, match="evalue"):
-        SearchConfig(evalue=True, db_stream=True)
-    with pytest.raises(ValueError, match="evalue"):
         SearchConfig(evalue=True, query_pack=True)
+
+
+def test_streaming_evalue_matches_resident(evalue_world):
+    # windowed histograms sum to exactly the whole-DB histogram, so the
+    # streaming statistics posture must reproduce the resident one:
+    # identical hit lists AND (near-)identical E-values
+    _, queries, packed = evalue_world
+    res, _ = search(packed, queries,
+                    SearchConfig(backend="xla", top_k=8, evalue=True))
+    strm, _ = search(packed, queries,
+                     SearchConfig(backend="xla", top_k=8, evalue=True,
+                                  db_stream=True, window_tiles=64))
+    for rr, rs in zip(res, strm):
+        assert [(h.score, h.title) for h in rr.hits] == \
+               [(h.score, h.title) for h in rs.hits]
+        for hr, hs in zip(rr.hits, rs.hits):
+            assert hs.evalue == pytest.approx(hr.evalue, rel=1e-5), \
+                (hr.evalue, hs.evalue)
 
 
 def test_cli_evalue(tmp_path, capsys):
@@ -171,8 +187,11 @@ def test_cli_evalue(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out)
     hits = payload["results"][0]["hits"]
     assert all("evalue" in h for h in hits)
+    # streaming statistics posture works end-to-end
+    assert main(base + ["--evalue", "--stream",
+                        "--window-tiles", "32"]) == 0
+    assert "E-value" in capsys.readouterr().out
     # conflicts error loudly
-    for extra in (["--evalue", "--stream"],
-                  ["--evalue", "--sharded"],
+    for extra in (["--evalue", "--sharded"],
                   ["--evalue", "--query-pack"]):
         assert main(base + extra) == 2, extra
