@@ -96,8 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "this search's own score distribution "
                          "(utils/stats.py; extension — the reference "
                          "reports raw scores only). The serving path "
-                         "accumulates the score histogram on device; "
-                         "works resident and --stream, not --sharded")
+                         "accumulates the score histogram on device "
+                         "(psum over the mesh when --sharded); works "
+                         "resident, --stream, and --sharded")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -249,12 +250,15 @@ def _run(args) -> int:
                 "--sharded --stream does not support --topk-per-shard: "
                 "the streamed super-window path takes top_k candidates "
                 "per span — drop --topk-per-shard")
-        if args.evalue and (args.sharded or args.query_pack):
+        if args.evalue and args.query_pack:
             raise ValueError(
-                "--evalue is served by the unsharded resident and "
-                "streaming postures; it does not combine with "
-                "--sharded/--query-pack — drop one side of the "
-                "combination")
+                "--evalue runs per-query statistics; it does not "
+                "combine with --query-pack — drop one of the two flags")
+        if args.evalue and args.sharded and args.stream:
+            raise ValueError(
+                "--sharded --stream does not support --evalue yet "
+                "(resident, --stream, and --sharded each do) — drop "
+                "one side of the combination")
         packed = load_db(args.db)
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in

@@ -34,12 +34,22 @@ TOPK_PER_SHARD = 256  # BASELINE config 4
 
 
 def _local_score_topk(backend, precision, n_rows_local, gap_open,
-                      gap_extend, kk):
+                      gap_extend, kk, with_hist=False):
     """Per-shard body shared by the fused and split sharded steps: score the
     local ragged tile sub-stream for every local query, mask pad lanes,
-    take the local top-kk, translate to sorted-db indices."""
+    take the local top-kk, translate to sorted-db indices.
 
-    def local(tiles_l, outrow_l, valid_l, lane2sorted_l, qps_l):
+    with_hist=True (E-value statistics): the body takes a replicated
+    (n_seqs,) ln-length bin table as an extra arg, computes each query's
+    LOCAL score histogram over the shard's valid lanes (bin of a lane =
+    bin_table[lane2sorted]), and returns it alongside — shards partition
+    the valid lanes (the same property the candidate exactness rests
+    on), so a psum over 'data' reproduces the whole-DB histogram the
+    resident fused path computes. Counts are integers in f32, so the
+    reduction is exact in any order."""
+
+    def local(tiles_l, outrow_l, valid_l, lane2sorted_l, qps_l,
+              *bin_table):
         tiles_l = tiles_l[0]
         outrow_l = outrow_l[0]
         valid_l = valid_l[0]
@@ -65,6 +75,16 @@ def _local_score_topk(backend, precision, n_rows_local, gap_open,
 
         scores = jnp.stack([one(qps_l[i]) for i in range(qps_l.shape[0])])
         v, i = jax.lax.top_k(scores, kk)
+        if with_hist:
+            from swimm_tpu.models.engine import hist_from_scores
+            from swimm_tpu.utils import stats
+            seg_l = bin_table[0][lane2sorted_l]
+            w_l = valid_l.astype(jnp.float32)
+            hists = jnp.stack([
+                hist_from_scores(scores[qi], seg_l, w_l,
+                                 stats.N_LEN_BINS, stats.SCORE_CAP + 1)
+                for qi in range(scores.shape[0])])
+            return v, lane2sorted_l[i], hists
         return v, lane2sorted_l[i]                      # (Ql, kk) each
 
     return local
@@ -115,6 +135,44 @@ def sharded_tiles_topk(tiles_all, outrow_all, valid_all, lane2sorted_all,
         check_vma=False,
     )(tiles_all, outrow_all, valid_all, lane2sorted_all, qps)
     return vals, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_rows_local", "gap_open", "gap_extend",
+                     "backend", "k", "precision"))
+def sharded_tiles_topk_hist(tiles_all, outrow_all, valid_all,
+                            lane2sorted_all, qps, bin_table, *, mesh,
+                            n_rows_local, gap_open, gap_extend,
+                            backend="pallas", k=TOPK_PER_SHARD,
+                            precision="f32"):
+    """sharded_tiles_topk + E-value statistics: each shard also
+    accumulates its local score histogram per query and the histograms
+    psum over 'data' — one extra (Q, 32, 512) replicated output, no
+    extra score pass. bin_table: replicated (n_seqs,) ln-length bin ids
+    (utils/stats.length_bins)."""
+    n_data = mesh.shape["data"]
+    V = tiles_all.shape[-1]
+    kk = min(k, n_rows_local * V)
+    body = _local_score_topk(backend, precision, n_rows_local, gap_open,
+                             gap_extend, kk, with_hist=True)
+
+    def local(*args):
+        v, gi, hists = body(*args)
+        hg = jax.lax.psum(hists, "data")               # exact: int counts
+        vg = jax.lax.all_gather(v, "data", axis=1)
+        ig = jax.lax.all_gather(gi, "data", axis=1)
+        Ql = vg.shape[0]
+        return (vg.reshape(Ql, n_data * kk), ig.reshape(Ql, n_data * kk),
+                hg)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=_SHARD_IN_SPECS + (P(None),),
+        out_specs=(P("query", None), P("query", None),
+                   P("query", None, None)),
+        check_vma=False,
+    )(tiles_all, outrow_all, valid_all, lane2sorted_all, qps, bin_table)
 
 
 @functools.partial(
@@ -290,11 +348,11 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
         mesh = make_mesh()
     if config.top_k > topk_per_shard:
         raise ValueError("top_k must be <= topk_per_shard for exact merge")
-    if config.evalue:
+    if config.evalue and measure_merge:
         raise ValueError(
-            "sharded search does not support evalue=True yet (the "
-            "unsharded resident and streaming postures do) — drop one "
-            "side of the combination")
+            "evalue=True and measure_merge=True do not combine: the "
+            "merge-latency measurement mode times the bare collective "
+            "(no histogram reduction) — drop one of the two")
     backend = config.resolve_backend()
     timer = PhaseTimer()
     t0 = time.perf_counter()
@@ -323,6 +381,13 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
 
     all_v = [None] * Q
     all_i = [None] * Q
+    all_h = [None] * Q
+    bin_table_dev = None
+    if config.evalue:
+        from swimm_tpu.utils import stats
+        bin_ids, bin_logl = stats.length_bins(packed.lengths)
+        bin_table_dev = jax.device_put(
+            bin_ids, NamedSharding(mesh, P(None)))
     padded_rows = 0
     pending = []
     for m_pad, positions in sorted(groups.items()):
@@ -343,22 +408,32 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
                 vals, idx = merge_candidates(lv, li, mesh=mesh)
                 jax.block_until_ready((vals, idx))
             pending.append((positions, vals, idx))
+        elif config.evalue:
+            with timer.phase("score+merge"):
+                vals, idx, hists = sharded_tiles_topk_hist(
+                    tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
+                    bin_table_dev, **kwargs)
+                pending.append((positions, vals, idx, hists))
         else:
             with timer.phase("score+merge"):
                 vals, idx = sharded_tiles_topk(
                     tiles_all, outrow_all, valid_all, l2s_all, qps_dev,
                     **kwargs)
-                pending.append((positions, vals, idx))
+                pending.append((positions, vals, idx, None))
     drain_phase = "d2h" if measure_merge else "score+merge"
     with timer.phase(drain_phase):
-        for positions, vals, idx in pending:
+        for positions, vals, idx, *rest in pending:
             # explicit sync so the timers are honest even if the host
             # conversion is ever refactored away (VERDICT r1 #7)
             gv = _device_to_host(vals)
             gi = _device_to_host(idx)
+            gh = (_device_to_host(rest[0])
+                  if rest and rest[0] is not None else None)
             for row, p in enumerate(positions):
                 all_v[p] = gv[row]
                 all_i[p] = gi[row]
+                if gh is not None:
+                    all_h[p] = gh[row]
     # the dispatched work includes each shard's PAD-tile padding
     lane_positions = int(np.prod(tiles_all.shape))
 
@@ -374,6 +449,12 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
                         int(packed.orig_index[i[j]]),
                         packed.title_of_sorted(int(i[j])))
                     for r, j in enumerate(order)]
+            if all_h[qi] is not None:
+                from swimm_tpu.utils import stats
+                model = stats.fit_evalue_model_hist(all_h[qi], bin_logl)
+                for h in hits:
+                    h.evalue = float(model.evalue(
+                        h.score, int(packed.lengths[h.sorted_idx])))
             results.append(QueryResult(q.title, q.length, hits))
 
     seconds = time.perf_counter() - t0

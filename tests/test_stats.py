@@ -145,6 +145,27 @@ def test_fused_evalue_close_to_full_vector(evalue_world):
                 (hf.evalue, hl.evalue)
 
 
+def test_sharded_evalue_matches_resident(evalue_world):
+    # per-shard histograms psum to exactly the whole-DB histogram (counts
+    # are integers in f32: exact in any reduction order), so the sharded
+    # statistics posture reproduces the resident E-values
+    from swimm_tpu.parallel.mesh import make_mesh
+    from swimm_tpu.parallel.sharded_search import sharded_search
+    _, queries, packed = evalue_world
+    res, _ = search(packed, queries,
+                    SearchConfig(backend="xla", top_k=8, evalue=True))
+    shd, _ = sharded_search(packed, queries,
+                            SearchConfig(backend="xla", top_k=8,
+                                         evalue=True),
+                            mesh=make_mesh(4, query_axis=2))
+    for rr, rs in zip(res, shd):
+        assert [(h.score, h.title) for h in rr.hits] == \
+               [(h.score, h.title) for h in rs.hits]
+        for hr, hs in zip(rr.hits, rs.hits):
+            assert hs.evalue == pytest.approx(hr.evalue, rel=1e-6), \
+                (hr.evalue, hs.evalue)
+
+
 def test_config_rejects_evalue_combinations():
     with pytest.raises(ValueError, match="evalue"):
         SearchConfig(evalue=True, query_pack=True)
@@ -187,11 +208,13 @@ def test_cli_evalue(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out)
     hits = payload["results"][0]["hits"]
     assert all("evalue" in h for h in hits)
-    # streaming statistics posture works end-to-end
+    # streaming and sharded statistics postures work end-to-end
     assert main(base + ["--evalue", "--stream",
                         "--window-tiles", "32"]) == 0
     assert "E-value" in capsys.readouterr().out
+    assert main(base + ["--evalue", "--sharded"]) == 0
+    assert "E-value" in capsys.readouterr().out
     # conflicts error loudly
-    for extra in (["--evalue", "--sharded"],
-                  ["--evalue", "--query-pack"]):
+    for extra in (["--evalue", "--query-pack"],
+                  ["--evalue", "--sharded", "--stream"]):
         assert main(base + extra) == 2, extra
