@@ -97,8 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "(utils/stats.py; extension — the reference "
                          "reports raw scores only). The serving path "
                          "accumulates the score histogram on device "
-                         "(psum over the mesh when --sharded); works "
-                         "resident, --stream, and --sharded")
+                         "(psum over the mesh when sharded); works "
+                         "with every serving posture")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -254,11 +254,6 @@ def _run(args) -> int:
             raise ValueError(
                 "--evalue runs per-query statistics; it does not "
                 "combine with --query-pack — drop one of the two flags")
-        if args.evalue and args.sharded and args.stream:
-            raise ValueError(
-                "--sharded --stream does not support --evalue yet "
-                "(resident, --stream, and --sharded each do) — drop "
-                "one side of the combination")
         packed = load_db(args.db)
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in

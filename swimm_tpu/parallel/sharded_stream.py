@@ -59,8 +59,8 @@ from swimm_tpu.utils.metrics import PhaseTimer, SearchMetrics
     static_argnames=("mesh", "r_cap", "gap_open", "gap_extend", "mode",
                      "kk", "precision"))
 def _sharded_window_step(tiles_sh, orow_sh, g0s, n_ws, qps, mask_p, l2s_p,
-                         *, mesh, r_cap, gap_open, gap_extend, mode, kk,
-                         precision):
+                         seg_p=None, *, mesh, r_cap, gap_open, gap_extend,
+                         mode, kk, precision):
     """Score one super-window: each 'data' shard scores its span against
     the query stack, masks pad/ghost lanes via a dynamic slice of the
     replicated global lane maps at its own row offset, takes the local
@@ -74,9 +74,15 @@ def _sharded_window_step(tiles_sh, orow_sh, g0s, n_ws, qps, mask_p, l2s_p,
       qps: (Qp, 32, m) int32 profile stack, sharded over 'query'.
       mask_p, l2s_p: global lane maps padded by (r_cap+1)*V trailing
         zeros (replicated; tiny next to one span).
+      seg_p: optional replicated padded ln-length bin ids (E-value
+        statistics): each shard also computes its span's per-query score
+        histogram and the histograms psum over 'data' — summed across
+        super-windows on the host, this reproduces exactly the whole-DB
+        histogram (spans partition the valid lanes; integer counts).
 
-    Returns (vals, idx): (Qp, n_data*kk) candidate scores + sorted-db
-    indices, replicated over 'data'.
+    Returns (vals, idx[, hists]): (Qp, n_data*kk) candidate scores +
+    sorted-db indices, replicated over 'data' (+ (Qp, bins, scores)
+    per-super-window histograms when seg_p is given).
     """
     from swimm_tpu.models.stream import make_span_scorer, span_topk
 
@@ -89,19 +95,26 @@ def _sharded_window_step(tiles_sh, orow_sh, g0s, n_ws, qps, mask_p, l2s_p,
         # the per-span scoring/masking/top-k contract is span_topk —
         # shared verbatim with the unsharded streaming step, so the two
         # postures' exactness argument stays one piece of code
-        v, gi = span_topk(scorer, tiles_l[0], orow_l[0], qps_l,
-                          g0_l[0], n_w_l[0], mask_p, l2s_p,
-                          n_lanes, V, kk)              # (Ql, kk)
+        r = span_topk(scorer, tiles_l[0], orow_l[0], qps_l,
+                      g0_l[0], n_w_l[0], mask_p, l2s_p,
+                      n_lanes, V, kk, seg_p=seg_p)     # (Ql, kk) each
+        v, gi = r[0], r[1]
         vg = jax.lax.all_gather(v, "data", axis=1)     # (Ql, n_data, kk)
         ig = jax.lax.all_gather(gi, "data", axis=1)
         Ql = vg.shape[0]
-        return vg.reshape(Ql, n_data * kk), ig.reshape(Ql, n_data * kk)
+        out = (vg.reshape(Ql, n_data * kk), ig.reshape(Ql, n_data * kk))
+        if seg_p is not None:
+            out += (jax.lax.psum(r[2], "data"),)       # exact: int counts
+        return out
 
+    out_specs = (P("query", None), P("query", None))
+    if seg_p is not None:
+        out_specs += (P("query", None, None),)
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data", None, None, None), P("data", None), P("data"),
                   P("data"), P("query", None, None)),
-        out_specs=(P("query", None), P("query", None)),
+        out_specs=out_specs,
         check_vma=False,
     )(tiles_sh, orow_sh, g0s, n_ws, qps)
 
@@ -189,11 +202,6 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             "db_stream=True does not support precision='ladder' (see "
             "models/stream.py) — use precision='adaptive': identical "
             "scores via the exact pass")
-    if config.evalue:
-        raise ValueError(
-            "sharded streaming does not support evalue=True yet (the "
-            "unsharded resident and streaming postures do) — drop one "
-            "side of the combination")
     backend = config.resolve_backend()
     precision = ("f32" if config.precision in ("adaptive", "ladder")
                  else config.precision)
@@ -214,6 +222,17 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
         rep = NamedSharding(mesh, P())
         mask_p = put(np.concatenate([mask, np.zeros(pad, bool)]), rep)
         l2s_p = put(np.concatenate([l2s, np.zeros(pad, np.int32)]), rep)
+        seg_p = None
+        bin_logl = None
+        if config.evalue:
+            # per-lane ln-length bin ids for the on-device score
+            # histograms (deterministic from packed.lengths, so every
+            # host builds the identical replicated array)
+            from swimm_tpu.utils import stats
+            bin_ids, bin_logl = stats.length_bins(packed.lengths)
+            seg = np.where(mask, bin_ids[l2s], 0).astype(np.int32)
+            seg_p = put(np.concatenate([seg, np.zeros(pad, np.int32)]),
+                        rep)
 
     # per-group stacked profiles (padded to the 'query' axis) + step kwargs
     with timer.phase("profiles"):
@@ -239,14 +258,19 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
     d_spec = NamedSharding(mesh, P("data"))
 
     cands = [[] for _ in queries]
+    hist_sum = ([0.0] * len(queries)) if config.evalue else None
     pending: "deque" = deque()
 
     def drain():
-        for positions, (v, i) in pending.popleft():
-            v = _device_to_host(v)
-            i = _device_to_host(i)
+        for positions, res in pending.popleft():
+            v = _device_to_host(res[0])
+            i = _device_to_host(res[1])
             for row, p in enumerate(positions):
                 cands[p].append((v[row], i[row]))
+            if config.evalue:
+                h = _device_to_host(res[2])       # (Qp, bins, scores)
+                for row, p in enumerate(positions):
+                    hist_sum[p] = hist_sum[p] + h[row]
 
     sw_iter = _iter_super_windows(packed, layout, spans, r_cap, n_data,
                                   config.window_tiles, rows=my_rows)
@@ -264,7 +288,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             pending.append([
                 (positions, _sharded_window_step(
                     tiles_sh, orow_sh, g0s_d, n_ws_d, qps, mask_p, l2s_p,
-                    **kwargs))
+                    seg_p, **kwargs))
                 for positions, qps, kwargs in group_steps])
         while pending:
             drain()
@@ -279,6 +303,12 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
                 hits = _hits_from(packed, v[order], i[order], config.top_k)
             else:
                 hits = []
+            if config.evalue and hits:
+                from swimm_tpu.utils import stats
+                model = stats.fit_evalue_model_hist(hist_sum[qi], bin_logl)
+                for h in hits:
+                    h.evalue = float(model.evalue(
+                        h.score, int(packed.lengths[h.sorted_idx])))
             results.append(QueryResult(q.title, q.length, hits))
 
     seconds = time.perf_counter() - t0

@@ -148,9 +148,11 @@ def test_fused_evalue_close_to_full_vector(evalue_world):
 def test_sharded_evalue_matches_resident(evalue_world):
     # per-shard histograms psum to exactly the whole-DB histogram (counts
     # are integers in f32: exact in any reduction order), so the sharded
-    # statistics posture reproduces the resident E-values
+    # statistics postures — resident AND streamed super-windows —
+    # reproduce the resident E-values
     from swimm_tpu.parallel.mesh import make_mesh
     from swimm_tpu.parallel.sharded_search import sharded_search
+    from swimm_tpu.parallel.sharded_stream import search_streaming_sharded
     _, queries, packed = evalue_world
     res, _ = search(packed, queries,
                     SearchConfig(backend="xla", top_k=8, evalue=True))
@@ -158,12 +160,20 @@ def test_sharded_evalue_matches_resident(evalue_world):
                             SearchConfig(backend="xla", top_k=8,
                                          evalue=True),
                             mesh=make_mesh(4, query_axis=2))
-    for rr, rs in zip(res, shd):
+    sst, _ = search_streaming_sharded(
+        packed, queries,
+        SearchConfig(backend="xla", top_k=8, evalue=True, db_stream=True,
+                     window_tiles=64),
+        mesh=make_mesh(4, query_axis=1))
+    for rr, rs, rt in zip(res, shd, sst):
         assert [(h.score, h.title) for h in rr.hits] == \
-               [(h.score, h.title) for h in rs.hits]
-        for hr, hs in zip(rr.hits, rs.hits):
+               [(h.score, h.title) for h in rs.hits] == \
+               [(h.score, h.title) for h in rt.hits]
+        for hr, hs, ht in zip(rr.hits, rs.hits, rt.hits):
             assert hs.evalue == pytest.approx(hr.evalue, rel=1e-6), \
                 (hr.evalue, hs.evalue)
+            assert ht.evalue == pytest.approx(hr.evalue, rel=1e-6), \
+                (hr.evalue, ht.evalue)
 
 
 def test_config_rejects_evalue_combinations():
@@ -208,13 +218,11 @@ def test_cli_evalue(tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out)
     hits = payload["results"][0]["hits"]
     assert all("evalue" in h for h in hits)
-    # streaming and sharded statistics postures work end-to-end
-    assert main(base + ["--evalue", "--stream",
-                        "--window-tiles", "32"]) == 0
-    assert "E-value" in capsys.readouterr().out
-    assert main(base + ["--evalue", "--sharded"]) == 0
-    assert "E-value" in capsys.readouterr().out
+    # every serving posture carries the statistics
+    for extra in (["--stream", "--window-tiles", "32"],
+                  ["--sharded"],
+                  ["--sharded", "--stream", "--window-tiles", "32"]):
+        assert main(base + ["--evalue"] + extra) == 0, extra
+        assert "E-value" in capsys.readouterr().out, extra
     # conflicts error loudly
-    for extra in (["--evalue", "--query-pack"],
-                  ["--evalue", "--sharded", "--stream"]):
-        assert main(base + extra) == 2, extra
+    assert main(base + ["--evalue", "--query-pack"]) == 2
