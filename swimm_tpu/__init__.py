@@ -39,4 +39,7 @@ def __getattr__(name):
     if name == "sharded_search":
         from swimm_tpu.parallel.sharded_search import sharded_search
         return sharded_search
+    if name in {"EValueModel", "fit_evalue_model", "fit_evalue_model_hist"}:
+        from swimm_tpu.utils import stats
+        return getattr(stats, name)
     raise AttributeError(f"module 'swimm_tpu' has no attribute {name!r}")

@@ -63,10 +63,11 @@ class SearchConfig:
     evalue: bool = False         # attach empirical E-values to hits
     # (utils/stats.py). Extension beyond the reference (raw scores only,
     # SURVEY.md section 3 C13): fits the search's own score distribution.
-    # The fused serving path accumulates the per-query score histogram
-    # ON DEVICE (MXU one-hot matmuls) so only a (32, 512) count table
-    # crosses the link per query; precision='ladder' falls back to the
-    # per-query full-vector path. Resident posture only.
+    # Every serving posture (resident / streaming / sharded / both)
+    # accumulates the per-query score histogram ON DEVICE (MXU one-hot
+    # matmuls; psum over the mesh when sharded) so only a (32, 512)
+    # count table crosses the link per query. precision='ladder' falls
+    # back to the per-query full-vector path; query_pack is rejected.
 
     def __post_init__(self):
         # gap_open >= 0 is LOAD-BEARING for exactness: the two-pass F
@@ -397,10 +398,9 @@ def _fused_search_step(packed: PackedDb, config: SearchConfig, k: int,
         # statistics posture: also accumulate the per-query score
         # histogram on device (utils/stats.py binned null-model fit)
         from swimm_tpu.utils import stats
-        bin_ids, _ = stats.length_bins(packed.lengths)
-        hist_of = _device_score_hist(bin_ids[lane2sorted], mask,
-                                     stats.N_LEN_BINS,
-                                     stats.SCORE_CAP + 1)
+        hist_of = _device_score_hist(
+            stats.lane_bin_map(mask, lane2sorted, packed.lengths), mask,
+            stats.N_LEN_BINS, stats.SCORE_CAP + 1)
 
     from swimm_tpu.ops import longquery, pallas_scorer, xla_scorer
     _, _, n_rows = packed.flat_tiles()
@@ -544,9 +544,7 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
             out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
             if hists is not None:
                 model = stats.fit_evalue_model_hist(hists[row], bin_logl)
-                for h in out[p]:
-                    h.evalue = float(model.evalue(
-                        h.score, int(packed.lengths[h.sorted_idx])))
+                stats.attach_evalues(out[p], model, packed.lengths)
     return out, padded_rows
 
 
@@ -559,10 +557,31 @@ def _search_ladder_batch(packed: PackedDb, queries, config: SearchConfig):
     top-k per query. Long queries fall back to the serial driver (the
     tiled long-query kernel is already exact — the reference's ladder
     lands long queries in the widest tier anyway, SURVEY.md section 6.7).
+
+    evalue=True: the ladder candidate path returns no score
+    distribution, so statistics fall back to per-query full vectors
+    (score_db serves the ladder exactly) + the unbinned fit — handled
+    HERE so every caller of the fused API gets E-values or an error,
+    never a silent None (r3 review finding).
     """
     from swimm_tpu.ops import ladder, pallas_scorer
     backend = config.resolve_backend()
     mm = config.m_multiple
+    if config.evalue:
+        from swimm_tpu.models.stream import dispatched_rows, select_mode
+        from swimm_tpu.utils import stats
+        out = []
+        padded_rows = 0
+        for q in queries:
+            svec = score_db(packed, q, config)
+            model = stats.fit_evalue_model(svec, packed.lengths)
+            hits = top_k_hits(packed, svec, config.top_k)
+            stats.attach_evalues(hits, model, packed.lengths)
+            out.append(hits)
+            m_pad = -(-max(q.length, 1) // mm) * mm
+            padded_rows += dispatched_rows(select_mode(backend, m_pad),
+                                           m_pad)
+        return out, padded_rows
     groups = group_by_m_pad(queries, mm)
     long_pos = []
     if backend == "pallas":
@@ -676,26 +695,11 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
                 search_streaming_batch(packed, queries, config)
         results = [QueryResult(q.title, q.length, h)
                    for q, h in zip(queries, hit_lists)]
-    elif config.evalue and config.precision == "ladder":
-        # ladder x statistics: the ladder candidate path returns no
-        # score distribution, so fall back to per-query full vectors
-        # (score_db serves the ladder exactly) + the unbinned fit. The
-        # default statistics posture stays on the fused path below,
-        # which accumulates the histogram on device.
-        from swimm_tpu.utils.stats import fit_evalue_model
-        with timer.phase("score"):
-            for q in queries:
-                svec = score_db(packed, q, config)
-                model = fit_evalue_model(svec, packed.lengths)
-                hits = top_k_hits(packed, svec, config.top_k)
-                for h in hits:
-                    h.evalue = float(model.evalue(
-                        h.score, int(packed.lengths[h.sorted_idx])))
-                results.append(QueryResult(q.title, q.length, hits))
     # serving fast path: queries batched into one fused dispatch per padded
     # profile length (or pack), device-side top-k; precision='ladder' runs
     # the batched tier-1 + union-recompute control flow inside
-    # search_fused_batch (_search_ladder_batch)
+    # search_fused_batch (_search_ladder_batch; under evalue it serves
+    # the per-query full-vector statistics fallback)
     else:
         with timer.phase("score"):
             hit_lists, padded_rows = search_fused_batch(packed, queries,

@@ -247,8 +247,7 @@ def _seg_padded(packed, r_cap: int):
     hit = per_db.get(key)
     if hit is None:
         mask, l2s = packed.lane_maps()
-        bin_ids, _ = stats.length_bins(packed.lengths)
-        seg = np.where(mask, bin_ids[l2s], 0).astype(np.int32)
+        seg = stats.lane_bin_map(mask, l2s, packed.lengths)
         V = int(packed.manifest["V"])
         seg_p = np.concatenate([seg, np.zeros((r_cap + 1) * V, np.int32)])
         hit = jnp.asarray(seg_p)
@@ -471,9 +470,7 @@ def search_streaming_batch(packed, queries, config):
             # (masked spans partition the valid lanes) — same null model
             # as the resident statistics posture
             model = stats.fit_evalue_model_hist(hist_sum[p], bin_logl)
-            for h in hits:
-                h.evalue = float(model.evalue(
-                    h.score, int(packed.lengths[h.sorted_idx])))
+            stats.attach_evalues(hits, model, packed.lengths)
         hit_lists.append(hits)
     lane_positions = len(spans) * config.window_tiles * jt * V
     return hit_lists, padded_rows, lane_positions

@@ -452,9 +452,7 @@ def sharded_search(packed: PackedDb, queries, config=None, mesh=None,
             if all_h[qi] is not None:
                 from swimm_tpu.utils import stats
                 model = stats.fit_evalue_model_hist(all_h[qi], bin_logl)
-                for h in hits:
-                    h.evalue = float(model.evalue(
-                        h.score, int(packed.lengths[h.sorted_idx])))
+                stats.attach_evalues(hits, model, packed.lengths)
             results.append(QueryResult(q.title, q.length, hits))
 
     seconds = time.perf_counter() - t0

@@ -226,11 +226,12 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
         bin_logl = None
         if config.evalue:
             # per-lane ln-length bin ids for the on-device score
-            # histograms (deterministic from packed.lengths, so every
-            # host builds the identical replicated array)
+            # histograms (stats.lane_bin_map is deterministic from the
+            # packed DB, so every host builds the identical replicated
+            # array)
             from swimm_tpu.utils import stats
-            bin_ids, bin_logl = stats.length_bins(packed.lengths)
-            seg = np.where(mask, bin_ids[l2s], 0).astype(np.int32)
+            _, bin_logl = stats.length_bins(packed.lengths)
+            seg = stats.lane_bin_map(mask, l2s, packed.lengths)
             seg_p = put(np.concatenate([seg, np.zeros(pad, np.int32)]),
                         rep)
 
@@ -306,9 +307,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
             if config.evalue and hits:
                 from swimm_tpu.utils import stats
                 model = stats.fit_evalue_model_hist(hist_sum[qi], bin_logl)
-                for h in hits:
-                    h.evalue = float(model.evalue(
-                        h.score, int(packed.lengths[h.sorted_idx])))
+                stats.attach_evalues(hits, model, packed.lengths)
             results.append(QueryResult(q.title, q.length, hits))
 
     seconds = time.perf_counter() - t0

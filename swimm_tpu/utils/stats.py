@@ -87,7 +87,8 @@ def _fit_censored(x: np.ndarray, s: np.ndarray, w: np.ndarray,
     min_keep = max(8.0, _MIN_KEEP_FRAC * n_total)
     a = b = 0.0
     iters = 0
-    for iters in range(1, max_iters + 1):
+    while True:
+        iters += 1
         wk = w * keep
         n = wk.sum()
         xm = (wk * x).sum() / n
@@ -100,8 +101,11 @@ def _fit_censored(x: np.ndarray, s: np.ndarray, w: np.ndarray,
         sd = max(float(np.sqrt((wk * resid ** 2).sum() / n
                                - ((wk * resid).sum() / n) ** 2)), 1e-9)
         new_keep = keep & (resid <= 3.0 * sd)
-        if (w * new_keep).sum() < min_keep \
-                or bool((new_keep == keep).all()):
+        # break BEFORE adopting new_keep when done, so the returned
+        # moments are always computed on the set (a, b) was fitted on
+        if (iters >= max_iters
+                or (w * new_keep).sum() < min_keep
+                or bool((new_keep == keep).all())):
             break
         keep = new_keep
     wk = w * keep
@@ -113,6 +117,15 @@ def _fit_censored(x: np.ndarray, s: np.ndarray, w: np.ndarray,
     mu = rm - _EULER_GAMMA * beta
     return (float(a), float(b), float(mu), float(beta),
             int(round(n_total - (w * keep).sum())), iters)
+
+
+def attach_evalues(hits, model: EValueModel, lengths: np.ndarray) -> None:
+    """Annotate engine Hit objects in place: hit.evalue from the fitted
+    null model and the subject's true length (lengths: per sequence in
+    sorted-db order, i.e. PackedDb.lengths). One definition for every
+    serving posture's drain loop."""
+    for h in hits:
+        h.evalue = float(model.evalue(h.score, int(lengths[h.sorted_idx])))
 
 
 def fit_evalue_model(scores: np.ndarray, lengths: np.ndarray,
@@ -148,6 +161,17 @@ N_LEN_BINS = 32      # ln-length resolution of the binned fit
 SCORE_CAP = 511      # scores clip here on device; anything this high is
 # far outside the null right-tail cut and lands in the censored set, so
 # clipping cannot perturb the surviving fit
+
+
+def lane_bin_map(mask: np.ndarray, lane2sorted: np.ndarray,
+                 lengths: np.ndarray) -> np.ndarray:
+    """Per-LANE ln-length bin ids (int32) over a flat lane order: bin of
+    a valid lane = its sequence's length bin; pad lanes read bin 0 and
+    must carry weight 0 through the mask. One definition shared by the
+    streaming and sharded-streaming seg maps (deterministic from the
+    packed DB, so every host builds the identical array)."""
+    bin_ids, _ = length_bins(lengths)
+    return np.where(mask, bin_ids[lane2sorted], 0).astype(np.int32)
 
 
 def length_bins(lengths: np.ndarray, n_bins: int = N_LEN_BINS):
@@ -188,5 +212,26 @@ def fit_evalue_model_hist(hist: np.ndarray, bin_logl: np.ndarray,
     s = cells[1].astype(np.float64)
     w = hist[cells]
     a, b, mu, beta, n_cens, iters = _fit_censored(x, s, w, max_iters)
+    # saturation guard: scores clip at the table edge, which is only
+    # harmless while everything in the top column would have been
+    # censored anyway (right-tail outliers). If the fitted null says the
+    # edge is NOT deep in the right tail of some populated bin, the clip
+    # has corrupted the fit — fail loudly rather than report silently
+    # anti-conservative E-values (reachable with degenerate gap
+    # penalties, e.g. gap_open=gap_extend=0, where null scores blow past
+    # the table edge).
+    top = hist[:, -1]
+    if top.sum() > 0:
+        sd = beta * np.pi / np.sqrt(6.0)
+        resid_edge = (n_scores - 1) - (a + b * np.asarray(bin_logl))
+        bad = (top > 0) & (resid_edge <= 3.0 * sd)
+        if top.sum() > 0.02 * n_db or bool(bad.any()):
+            raise ValueError(
+                "score histogram saturated: the null score distribution "
+                "reaches the device histogram's top bin, so binned "
+                "E-value statistics would be corrupted. This happens "
+                "with degenerate scoring parameters (e.g. zero gap "
+                "penalties); use realistic penalties, or the full-vector "
+                "statistics path (precision='ladder')")
     return EValueModel(a=a, b=b, mu=mu, beta=beta, n_db=int(n_db),
                        n_censored=n_cens, n_iters=iters)

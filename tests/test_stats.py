@@ -79,6 +79,38 @@ def test_hist_fit_matches_full_fit():
     assert abs(np.log(e_b) - np.log(e_f)) < 0.25
 
 
+def test_hist_fit_rejects_saturation():
+    # clipping at the table edge is only safe while the clipped mass
+    # would have been censored anyway; a null distribution that reaches
+    # the top bin must fail loudly, not report anti-conservative
+    # E-values (r3 review finding — reachable with zero gap penalties)
+    from swimm_tpu.utils.stats import (N_LEN_BINS, SCORE_CAP,
+                                       fit_evalue_model_hist, length_bins)
+    rng = np.random.default_rng(17)
+    lengths = rng.integers(40, 2000, size=4000)
+    # null scores centered far beyond the cap: most mass clips
+    scores = np.clip(
+        np.round(600 + 80 * np.log(lengths)
+                 + rng.gumbel(0, 40, size=4000)), 0, SCORE_CAP)
+    ids, centers = length_bins(lengths)
+    hist = np.zeros((N_LEN_BINS, SCORE_CAP + 1))
+    np.add.at(hist, (ids, scores.astype(int)), 1.0)
+    with pytest.raises(ValueError, match="saturated"):
+        fit_evalue_model_hist(hist, centers)
+
+
+def test_ladder_evalue_via_fused_api(evalue_world):
+    # the fused batch API must serve the ladder x evalue fallback itself
+    # (not only the top-level search()) — no silent evalue=None
+    from swimm_tpu.models.engine import search_fused_batch
+    _, queries, packed = evalue_world
+    out, _ = search_fused_batch(
+        packed, queries, SearchConfig(backend="xla", top_k=5,
+                                      evalue=True, precision="ladder"))
+    for hits in out:
+        assert hits and all(h.evalue is not None for h in hits)
+
+
 def test_fit_input_validation():
     with pytest.raises(ValueError, match=">= 8"):
         fit_evalue_model(np.arange(4), np.arange(4) + 30)
