@@ -95,6 +95,13 @@ def worker(args) -> int:
                         window_tiles=16, max_in_flight=2)
     sresults, _ = search_streaming_sharded(packed, queries, scfg, mesh=mesh)
 
+    # --- E-value statistics under multi-process sharding: the per-shard
+    # histograms psum across PROCESS boundaries (gloo) and must
+    # reproduce the single-process resident null model
+    ecfg = SearchConfig(backend="xla", top_k=8, evalue=True)
+    eresults, _ = sharded_search(packed, queries, ecfg, mesh=mesh,
+                                 tile_shards=shards)
+
     out = {
         "pid": args.pid,
         "n_processes": jax.process_count(),
@@ -104,6 +111,8 @@ def worker(args) -> int:
                     for r in results],
         "stream_results": [[[h.score, h.sorted_idx] for h in r.hits]
                            for r in sresults],
+        "evalue_results": [[[h.score, h.sorted_idx, h.evalue]
+                            for h in r.hits] for r in eresults],
         "timers": metrics.timers,
     }
     Path(args.out).write_text(json.dumps(out))
@@ -138,6 +147,10 @@ def parent(args) -> int:
     cfg = SearchConfig(backend="xla", top_k=8)
     serial, _ = search(packed, queries, cfg)
     expect = [[[h.score, h.sorted_idx] for h in r.hits] for r in serial]
+    eserial, _ = search(packed, queries,
+                        SearchConfig(backend="xla", top_k=8, evalue=True))
+    expect_e = [[[h.score, h.sorted_idx, h.evalue] for h in r.hits]
+                for r in eserial]
 
     port = _free_port()
     procs = []
@@ -173,6 +186,19 @@ def parent(args) -> int:
                         print(f"  expect {qe}\n  got    {qg}",
                               file=sys.stderr)
                 ok = False
+        # E-value leg: (score, idx) exact; evalues match the resident
+        # null model to float tolerance (cross-process psum is exact on
+        # integer counts; the fit arithmetic is deterministic)
+        for qe, qg in zip(expect_e, got["evalue_results"]):
+            same = len(qe) == len(qg) and all(
+                e[:2] == g[:2] and abs(e[2] - g[2]) <=
+                1e-6 * max(abs(e[2]), 1e-12)
+                for e, g in zip(qe, qg))
+            if not same:
+                print(f"FAIL: process {pid} evalue_results != resident "
+                      f"statistics\n  expect {qe}\n  got    {qg}",
+                      file=sys.stderr)
+                ok = False
     if ok:
         print(json.dumps({
             "multiproc_smoke": "PASS",
@@ -182,7 +208,8 @@ def parent(args) -> int:
             "n_seqs": args.n_seqs,
             "n_queries": len(queries),
             "hit_lists": "exact vs serial driver on every process "
-                         "(resident + streaming super-window legs)",
+                         "(resident + streaming super-window + E-value "
+                         "statistics legs)",
         }))
     return 0 if ok else 1
 
