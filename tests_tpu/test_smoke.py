@@ -108,6 +108,32 @@ def test_smoke_streaming_matches_resident(world):
     assert _hit_keys(streamed) == _hit_keys(resident)
 
 
+def test_smoke_evalue_postures_agree(world):
+    # E-value statistics (r3 extension) on real hardware: the on-device
+    # MXU histogram (resident fused), the per-window variant (streaming)
+    # and the psum'd variant (sharded) must produce identical E-values,
+    # and the planted homolog must be overwhelmingly significant
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.parallel.mesh import make_mesh
+    from swimm_tpu.parallel.sharded_search import sharded_search
+    packed, _recs, queries = world
+    res, _ = search(packed, queries[:2],
+                    SearchConfig(top_k=8, evalue=True))
+    strm, _ = search(packed, queries[:2],
+                     SearchConfig(top_k=8, evalue=True, db_stream=True,
+                                  window_tiles=256))
+    shd, _ = sharded_search(packed, queries[:2],
+                            SearchConfig(top_k=8, evalue=True),
+                            mesh=make_mesh())
+    assert _hit_keys(res) == _hit_keys(strm) == _hit_keys(shd)
+    for rr, rs, rh in zip(res, strm, shd):
+        for a, b, c in zip(rr.hits, rs.hits, rh.hits):
+            assert a.evalue is not None
+            assert abs(a.evalue - b.evalue) <= 1e-6 * max(a.evalue, 1e-12)
+            assert abs(a.evalue - c.evalue) <= 1e-6 * max(a.evalue, 1e-12)
+    assert res[0].hits[0].evalue < 1e-4          # planted homolog
+
+
 def test_smoke_ragged_kernel_parity(world):
     # the ragged tile kernel vs the C oracle on every lane (small shapes)
     from swimm_tpu.matrices import get_matrix
