@@ -111,6 +111,24 @@ def test_ladder_evalue_via_fused_api(evalue_world):
         assert hits and all(h.evalue is not None for h in hits)
 
 
+def test_evalue_analytic_properties():
+    # invariants of the fitted model's arithmetic (guards the stable
+    # expm1/exp formulation): E monotone nonincreasing in score,
+    # nondecreasing in subject length (b > 0), bounded by [0, n_db],
+    # and deep tails neither under- nor overflow
+    rng = np.random.default_rng(23)
+    scores, lengths = _gumbel_scores(rng, 3000)
+    m = fit_evalue_model(scores, lengths)
+    s_grid = np.arange(0, 2000, dtype=float)
+    e = m.evalue(s_grid, 300)
+    assert np.all(np.diff(e) <= 1e-12)
+    assert np.all((e >= 0) & (e <= m.n_db))
+    e_len = m.evalue(120, np.array([50.0, 500.0, 5000.0]))
+    assert e_len[0] <= e_len[1] <= e_len[2]
+    assert np.isfinite(m.evalue(1e6, 100))       # deep right tail -> 0
+    assert m.evalue(0, 5000) <= m.n_db           # deep left tail -> n_db
+
+
 def test_fit_input_validation():
     with pytest.raises(ValueError, match=">= 8"):
         fit_evalue_model(np.arange(4), np.arange(4) + 30)
