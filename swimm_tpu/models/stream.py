@@ -93,28 +93,36 @@ def plan_windows(layout, window_tiles: int):
     return spans, r_cap
 
 
-def _read_chunk_tiles(ch, lo: int, hi: int, jt: int, V: int) -> np.ndarray:
-    """Tiles [lo, hi) of one chunk's (nb*L/jt, jt, V) tile view.
+def _read_chunk_tiles_into(ch, lo: int, hi: int, jt: int, V: int,
+                           out: np.ndarray) -> None:
+    """Read tiles [lo, hi) of one chunk's (nb*L/jt, jt, V) tile view
+    directly INTO out (a contiguous (hi-lo, jt, V) int8 view).
 
-    For a memmap-backed chunk the bytes are read with a plain file read
-    instead of slicing the memmap: touched memmap pages stay counted in
-    the process RSS until memory pressure evicts them, so streaming a
-    whole DB through memmap slices would look (and under pressure behave)
-    like O(DB) resident memory. A direct read keeps the process at
-    O(window); the kernel page cache still makes repeat passes warm."""
+    For a memmap-backed chunk the bytes come from readinto() on the
+    backing file, not from slicing the memmap: touched memmap pages stay
+    counted in the process RSS until memory pressure evicts them, so
+    streaming a whole DB through memmap slices would look (and under
+    pressure behave) like O(DB) resident memory. readinto() lands the
+    page-cache read straight in the window buffer — one copy total, no
+    intermediate allocation, and the GIL is released for the read (this
+    runs on the prefetch thread, overlapping device compute)."""
     codes = ch.codes
+    n = (hi - lo) * jt * V
     if isinstance(codes, np.memmap):
-        n = (hi - lo) * jt * V
         with open(codes.filename, "rb") as fh:
             fh.seek(codes.offset + lo * jt * V * codes.itemsize)
-            buf = np.fromfile(fh, dtype=np.int8, count=n)
-        return buf.reshape(hi - lo, jt, V)
-    return np.asarray(codes).reshape(-1, jt, V)[lo:hi]
+            got = fh.readinto(out.reshape(-1).view(np.uint8).data)
+        if got != n:
+            raise IOError(f"short read: {got} of {n} bytes from "
+                          f"{codes.filename}")
+    else:
+        out[...] = np.asarray(codes).reshape(-1, jt, V)[lo:hi]
 
 
 def _fill_window(packed, layout, t0: int, t1: int, win: np.ndarray):
     """Copy global tile range [t0, t1) into win[:t1-t0] straight from the
-    per-chunk code files (O(window) host memory, see _read_chunk_tiles)."""
+    per-chunk code files (O(window) host memory, see
+    _read_chunk_tiles_into)."""
     jt, V = layout["jt"], layout["V"]
     dst = 0
     for ch, ct0 in zip(packed.chunks, layout["chunk_tile0"]):
@@ -123,7 +131,8 @@ def _fill_window(packed, layout, t0: int, t1: int, win: np.ndarray):
         hi = min(t1, ct0 + n_t) - ct0
         if hi <= lo:
             continue
-        win[dst:dst + hi - lo] = _read_chunk_tiles(ch, lo, hi, jt, V)
+        _read_chunk_tiles_into(ch, lo, hi, jt, V,
+                               win[dst:dst + hi - lo])
         dst += hi - lo
     return dst
 
@@ -139,7 +148,10 @@ def iter_windows(packed, window_tiles: int, jt: int = 32):
     V = layout["V"]
     for g0, g1 in spans:
         t0, t1 = int(cum[g0]), int(cum[g1])
-        win = np.full((window_tiles, jt, V), PAD_CODE, np.int8)
+        # PAD-fill only the tail the reads won't overwrite (saves a
+        # ~33 MB memset per full window on the prefetch thread)
+        win = np.empty((window_tiles, jt, V), np.int8)
+        win[t1 - t0:] = PAD_CODE
         filled = _fill_window(packed, layout, t0, t1, win)
         assert filled == t1 - t0, (filled, t0, t1)
         orow = np.full(window_tiles, r_cap, np.int32)      # trash row
