@@ -215,6 +215,27 @@ def test_stream_out_of_core_rss(tmp_path):
         "materialized on the host")
 
 
+def test_stream_truncated_chunk_file_raises(tmp_path):
+    # a chunk file shorter than the manifest promises must fail loudly
+    # at window assembly (short readinto), never silently score
+    # zero-filled garbage (r3: readinto path error handling)
+    from swimm_tpu.db import load_db
+    recs = synth_db(120, seed=85, median_len=60, sigma=0.4, max_len=150)
+    db = tmp_path / "db"
+    build_db(recs, db, V=8)
+    qf = synth_queries(1, [40], seed=86)
+    # truncate the largest chunk file
+    chunk_files = sorted(db.glob("chunk_*.npy"),
+                         key=lambda p: p.stat().st_size)
+    big = chunk_files[-1]
+    big.write_bytes(big.read_bytes()[:-4096])
+    with pytest.raises((IOError, ValueError)):
+        packed = load_db(db)                     # memmap-backed
+        search(packed, qf,
+               SearchConfig(backend="xla", db_stream=True,
+                            window_tiles=64, top_k=3))
+
+
 def test_prefetch_abandon_stops_producer():
     # abandoning a half-consumed prefetch generator (consumer exception,
     # GC) must stop the producer thread and its blocked q.put instead of
