@@ -12,7 +12,6 @@ Prints one JSON line per phase + a final summary line.
 """
 
 import json
-import time
 from pathlib import Path
 
 import numpy as np
