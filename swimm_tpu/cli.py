@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--max-in-flight", type=int, default=None,
                     help="streaming windows alive on device (--stream "
                          "only; default: SearchConfig's)")
+    se.add_argument("--stream-scores",
+                    choices=["auto", "buffer", "candidates"], default=None,
+                    help="streaming merge strategy (--stream only): "
+                         "'buffer' accumulates whole-DB scores on device "
+                         "(near-resident throughput, O(n_seqs) device "
+                         "bytes/query), 'candidates' merges per-window "
+                         "top-k on the host (O(k) device bytes/query); "
+                         "'auto' (default) picks by buffer size")
     se.add_argument("--query-pack", dest="query_pack", action="store_true",
                     default=False,
                     help="pack the query batch into fixed-size profiles: "
@@ -225,11 +233,18 @@ def _run(args) -> int:
                 "--stream does not support --query-pack: the streaming "
                 "path batches queries per padded length against each "
                 "window — drop one of the two flags")
+        if args.sharded and args.stream_scores is not None:
+            raise ValueError(
+                "--stream-scores does not apply to the sharded posture: "
+                "sharded streaming always merges per-span candidates "
+                "via the collective top-k — drop --stream-scores")
         if not args.stream:
             for flag, on in (("--window-tiles",
                               args.window_tiles is not None),
                              ("--max-in-flight",
-                              args.max_in_flight is not None)):
+                              args.max_in_flight is not None),
+                             ("--stream-scores",
+                              args.stream_scores is not None)):
                 if on:
                     raise ValueError(
                         f"{flag} only applies to the streaming posture "
@@ -258,7 +273,8 @@ def _run(args) -> int:
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in
                      (("window_tiles", args.window_tiles),
-                      ("max_in_flight", args.max_in_flight))
+                      ("max_in_flight", args.max_in_flight),
+                      ("stream_scores", args.stream_scores))
                      if v is not None}   # None -> SearchConfig defaults
         config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
                               gap_extend=args.gap_extend, top_k=args.top_k,

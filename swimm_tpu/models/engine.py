@@ -60,6 +60,13 @@ class SearchConfig:
     window_tiles: int = 8192     # streaming window size (tiles); one
     # compiled kernel shape per distinct value
     max_in_flight: int = 2       # streaming windows alive on device
+    stream_scores: str = "auto"  # streaming merge strategy: 'buffer'
+    # accumulates whole-DB scores in persistent device buffers (zero host
+    # round trips inside the stream loop — RTT-bound links reach
+    # near-resident throughput), 'candidates' keeps O(k) device memory
+    # via per-window top-k + host merge; 'auto' picks 'buffer' whenever
+    # the buffers fit models/stream.STREAM_BUFFER_CAP. The sharded
+    # super-window path always merges candidates (collective top-k).
     evalue: bool = False         # attach empirical E-values to hits
     # (utils/stats.py). Extension beyond the reference (raw scores only,
     # SURVEY.md section 3 C13): fits the search's own score distribution.
@@ -92,6 +99,10 @@ class SearchConfig:
             raise ValueError("window_tiles must be positive")
         if self.max_in_flight <= 0:
             raise ValueError("max_in_flight must be positive")
+        if self.stream_scores not in ("auto", "buffer", "candidates"):
+            raise ValueError(
+                f"stream_scores must be 'auto', 'buffer', or 'candidates' "
+                f"(got {self.stream_scores!r})")
         if self.evalue and self.query_pack:
             raise ValueError(
                 "evalue statistics run the per-query full-vector path; "

@@ -13,9 +13,18 @@ bounded-HBM posture:
   (one stacked dispatch per padded-length group), so H2D traffic is one DB
   pass per batch, overlapped with ~Q windows of compute (jax async
   dispatch, at most ``max_in_flight`` windows of HBM alive).
-- Per (window, query): device-side top-k over the window's lanes; only
-  (Q, k) candidate pairs return to the host, which merges windows by the
-  global (score desc, index asc) order.
+- Two merge strategies (``SearchConfig.stream_scores``, default auto —
+  see resolve_stream_scores):
+  'buffer' — each window's (r_cap, V) score block is written into a
+  persistent per-group device buffer (donated dynamic_update_slice);
+  nothing crosses the link until one resident-style finalize (top-k +
+  statistics) at the end. Zero mid-stream host round trips: on a
+  high-latency link this is what makes streaming compute-bound instead
+  of RTT-bound.
+  'candidates' — per (window, query) device-side top-k; only (Q, k)
+  candidate pairs return to the host, which merges windows by the global
+  (score desc, index asc) order. O(k) device memory per query — the
+  huge-DB fallback, and the contract the sharded super-window path uses.
 
 Out-of-core (SURVEY.md section 3 C4 "mmap/fread"; VERDICT r2 missing #2):
 windows are assembled DIRECTLY from the memmapped per-chunk code files —
@@ -385,6 +394,195 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
     return step
 
 
+STREAM_BUFFER_CAP = 512 * 1024 * 1024
+"""Device-byte budget for buffer-mode score accumulators (stream_scores=
+'auto'): Q x (n_rows + r_cap) x V x 4 bytes must fit or the batch falls
+back to candidate mode. 512 MB covers ~25 queries x 5M db sequences."""
+
+
+def resolve_stream_scores(config, n_queries: int, n_rows: int, r_cap: int,
+                          V: int) -> str:
+    """Pick the streaming merge strategy for this batch.
+
+    'buffer': per-group persistent device score buffers, written per
+    window with a donated dynamic_update_slice; NO host round trips
+    inside the stream loop and ONE resident-style finalize (top-k +
+    statistics) at the end. On a high-latency link (the dev tunnel pays
+    ~33 ms per forced pull) this is the difference between
+    RTT-bound and compute-bound streaming: the candidate path drains
+    2 pulls x windows x m_pad groups mid-stream.
+
+    'candidates': per-window device top-k, host merge — O(k) device
+    memory per query regardless of DB size (and the only option for the
+    sharded super-window path). Auto picks 'buffer' whenever the score
+    buffers fit STREAM_BUFFER_CAP."""
+    if config.stream_scores != "auto":
+        return config.stream_scores
+    need = n_queries * (n_rows + r_cap) * V * 4
+    return "buffer" if need <= STREAM_BUFFER_CAP else "candidates"
+
+
+def _scorer_dtype(mode: str, prec: str):
+    """Output dtype of make_span_scorer's scorer (buffer dtype)."""
+    import jax.numpy as jnp
+    if mode == "tiles_xla":
+        return jnp.int32               # ops/xla_scorer.score_tiles
+    return jnp.float32 if prec == "f32" else jnp.int32
+
+
+def _acc_window_step(packed, config, r_cap: int, mode: str):
+    """Jitted buffer-mode window step: score the window against a query
+    profile stack and write rows [g0, g0+r_cap) of the donated score
+    buffer in place. Returns (buf, probe) — the probe is a tiny scalar
+    alias used to bound in-flight windows without pulling scores.
+
+    Exactness of the overwrite scheme: window w's kernel output rows
+    [n_w, r_cap) were never written by the kernel (garbage); they land at
+    global rows belonging to LATER windows, whose own writes (sequenced
+    by the donated-buffer data dependency) overwrite them. Every row
+    < n_rows is therefore written last by exactly its owning window; the
+    final window's garbage lands in the [n_rows, n_rows + r_cap) slack
+    rows, which the finalize step slices off."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
+    key = ("acc", r_cap, mode, config.gap_open, config.gap_extend,
+           config.precision)
+    hit = per_db.get(key)
+    if hit is not None:
+        return hit
+
+    prec = ("f32" if config.precision in ("adaptive", "ladder")
+            else config.precision)
+    scorer = make_span_scorer(mode, r_cap, config.gap_open,
+                              config.gap_extend, prec)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(buf, tiles_w, orow_w, qps, g0):
+        upd = jnp.stack([scorer(tiles_w, orow_w, qps[qi])[:r_cap]
+                         for qi in range(qps.shape[0])])  # drop trash row
+        buf = jax.lax.dynamic_update_slice(
+            buf, upd.astype(buf.dtype), (jnp.int32(0), g0, jnp.int32(0)))
+        return buf, buf[0, 0, 0]
+    per_db[key] = step
+    return step
+
+
+def _finalize_buffer_step(packed, config, k: int, n_rows: int):
+    """Jitted buffer-mode finalize: exactly the resident fused path's
+    reduction — mask pad lanes, per-query global top-k (+ whole-DB score
+    histogram under config.evalue), map lanes to sorted-db indices. Only
+    (Q, kk) pairs (+ (Q, bins, scores) counts) leave the device."""
+    import jax
+    import jax.numpy as jnp
+
+    per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
+    key = ("fin", k, config.evalue, n_rows)
+    hit = per_db.get(key)
+    if hit is not None:
+        return hit
+
+    mask, l2s = packed.lane_maps()
+    total = mask.shape[0]
+    mask_dev = jnp.asarray(mask)
+    l2s_dev = jnp.asarray(l2s)
+    kk = min(k, total)
+    hist_of = None
+    if config.evalue:
+        from swimm_tpu.models.engine import _device_score_hist
+        from swimm_tpu.utils import stats
+        hist_of = _device_score_hist(
+            stats.lane_bin_map(mask, l2s, packed.lengths), mask,
+            stats.N_LEN_BINS, stats.SCORE_CAP + 1)
+
+    @jax.jit
+    def fin(buf):                                 # (Q, n_rows + r_cap, V)
+        vs, idxs, hists = [], [], []
+        for qi in range(buf.shape[0]):
+            flat = buf[qi, :n_rows].reshape(-1)
+            scores = jnp.where(mask_dev, flat, -1)
+            v, i = jax.lax.top_k(scores, kk)
+            vs.append(v)
+            idxs.append(l2s_dev[i])
+            if hist_of is not None:
+                hists.append(hist_of(scores))
+        if hist_of is not None:
+            return jnp.stack(vs), jnp.stack(idxs), jnp.stack(hists)
+        return jnp.stack(vs), jnp.stack(idxs)
+    per_db[key] = fin
+    return fin
+
+
+def _stream_batch_buffer(packed, queries, config, groups, layout, spans,
+                         r_cap):
+    """Buffer-mode streaming drive loop (see resolve_stream_scores)."""
+    from collections import deque
+
+    import jax.numpy as jnp
+
+    from swimm_tpu.models.engine import _hits_from
+    from swimm_tpu.models.profile import build_query_profile
+
+    backend = config.resolve_backend()
+    mm = config.m_multiple
+    jt, V = layout["jt"], layout["V"]
+    n_rows = layout["n_rows"]
+    prec = ("f32" if config.precision in ("adaptive", "ladder")
+            else config.precision)
+
+    group_states = []       # [positions, qps, step, buf] per m_pad group
+    padded_rows = 0
+    for m_pad, positions in sorted(groups.items()):
+        mode = select_mode(backend, m_pad)
+        qps = jnp.asarray(np.stack([
+            build_query_profile(queries[p].codes, config.matrix, mm)
+            for p in positions]))
+        padded_rows += dispatched_rows(mode, m_pad) * len(positions)
+        step = _acc_window_step(packed, config, r_cap, mode)
+        buf = jnp.zeros((len(positions), n_rows + r_cap, V),
+                        _scorer_dtype(mode, prec))
+        group_states.append([positions, qps, step, buf])
+
+    # stream loop: H2D + dispatches only — zero result pulls. The probe
+    # pull bounds windows alive on device to max_in_flight (each probe
+    # completes only after every dispatch of its window ran).
+    probes: "deque" = deque()
+    for win, orow, g0, n_w, _rc in prefetch_windows(
+            packed, config.window_tiles, jt, depth=config.max_in_flight):
+        if len(probes) >= config.max_in_flight:
+            np.asarray(probes.popleft())   # window w-depth fully done
+        tiles_dev = jnp.asarray(win)
+        orow_dev = jnp.asarray(orow)
+        g0_dev = jnp.int32(g0)
+        probe = None
+        for gs in group_states:
+            gs[3], probe = gs[2](gs[3], tiles_dev, orow_dev, gs[1], g0_dev)
+        probes.append(probe)   # last dispatch of the window — its
+        # completion implies every earlier dispatch of the window ran
+    probes.clear()
+
+    if config.evalue:
+        from swimm_tpu.utils import stats
+        _, bin_logl = stats.length_bins(packed.lengths)
+    fin = _finalize_buffer_step(packed, config, config.top_k, n_rows)
+    hit_lists = [None] * len(queries)
+    pending = [(gs[0], fin(gs[3])) for gs in group_states]
+    for positions, res in pending:
+        v = np.asarray(res[0])
+        i = np.asarray(res[1])
+        h = np.asarray(res[2]) if config.evalue else None
+        for row, p in enumerate(positions):
+            hits = _hits_from(packed, v[row], i[row], config.top_k)
+            if h is not None:
+                model = stats.fit_evalue_model_hist(h[row], bin_logl)
+                stats.attach_evalues(hits, model, packed.lengths)
+            hit_lists[p] = hits
+    lane_positions = len(spans) * config.window_tiles * jt * V
+    return hit_lists, padded_rows, lane_positions
+
+
 def search_streaming_batch(packed, queries, config):
     """Batch search under the streaming posture: ONE pass of the DB over
     the host->device link serves the whole batch.
@@ -418,6 +616,13 @@ def search_streaming_batch(packed, queries, config):
     layout = stream_layout(packed)
     spans, r_cap = plan_windows(layout, config.window_tiles)
     jt, V = layout["jt"], layout["V"]
+
+    if (layout["n_rows"] > 0 and queries
+            and resolve_stream_scores(config, len(queries),
+                                      layout["n_rows"], r_cap, V)
+            == "buffer"):
+        return _stream_batch_buffer(packed, queries, config, groups,
+                                    layout, spans, r_cap)
 
     # per-group stacked profiles + jitted window steps (compiled once per
     # (m_pad, Q) — every window reuses them)

@@ -54,29 +54,53 @@ def test_windows_reassemble_flat_tiles(world):
         assert seen_rows == n_rows
 
 
-def test_stream_batch_matches_resident_multi_mpad(world):
+@pytest.mark.parametrize("merge", ["buffer", "candidates"])
+def test_stream_batch_matches_resident_multi_mpad(world, merge):
     # several padded-length groups share each uploaded window; hit lists
-    # must match the resident fused path bit-for-bit
+    # must match the resident fused path bit-for-bit, under BOTH merge
+    # strategies (persistent device score buffers / per-window candidates)
     _, queries, packed = world
     resident, _ = search(packed, queries,
                          SearchConfig(backend="xla", top_k=12))
     for wt in (32, 512):
         streamed, m = search(packed, queries,
                              SearchConfig(backend="xla", top_k=12,
-                                          db_stream=True, window_tiles=wt))
+                                          db_stream=True, window_tiles=wt,
+                                          stream_scores=merge))
         assert _key(streamed) == _key(resident), f"window_tiles={wt}"
         assert m.n_queries == len(queries)
 
 
-def test_stream_batch_pallas_interpret(world):
+@pytest.mark.parametrize("merge", ["buffer", "candidates"])
+def test_stream_batch_pallas_interpret(world, merge):
     # the TPU kernel path (interpret mode) through the window step
     _, queries, packed = world
     resident, _ = search(packed, queries[:2],
                          SearchConfig(backend="xla", top_k=8))
     streamed, _ = search(packed, queries[:2],
                          SearchConfig(backend="pallas", top_k=8,
-                                      db_stream=True, window_tiles=64))
+                                      db_stream=True, window_tiles=64,
+                                      stream_scores=merge))
     assert _key(streamed) == _key(resident)
+
+
+def test_stream_scores_auto_resolution(world):
+    # auto picks 'buffer' when the score buffers fit STREAM_BUFFER_CAP and
+    # 'candidates' when they would not (huge-DB fallback)
+    from swimm_tpu.models import stream as S
+    _, queries, packed = world
+    layout = S.stream_layout(packed)
+    _, r_cap = S.plan_windows(layout, 512)
+    cfg = SearchConfig(db_stream=True)
+    assert S.resolve_stream_scores(cfg, 5, layout["n_rows"], r_cap,
+                                   layout["V"]) == "buffer"
+    huge_rows = S.STREAM_BUFFER_CAP // (4 * layout["V"]) + 1
+    assert S.resolve_stream_scores(cfg, 5, huge_rows, r_cap,
+                                   layout["V"]) == "candidates"
+    forced = SearchConfig(db_stream=True, stream_scores="candidates")
+    assert S.resolve_stream_scores(forced, 1, 1, 1, 128) == "candidates"
+    with pytest.raises(ValueError, match="stream_scores"):
+        SearchConfig(stream_scores="bogus")
 
 
 def test_stream_single_window_whole_db(world):
@@ -118,7 +142,10 @@ def test_cli_posture_conflicts(tmp_path):
                   ["--sharded", "--max-in-flight", "4"],
                   ["--stream", "--query-pack"],
                   ["--stream", "--precision", "ladder"],
-                  ["--sharded", "--stream", "--precision", "ladder"]):
+                  ["--sharded", "--stream", "--precision", "ladder"],
+                  ["--stream-scores", "buffer"],              # no --stream
+                  ["--sharded", "--stream",
+                   "--stream-scores", "buffer"]):             # collective
         rc = main(base + extra)
         assert rc == 2, f"{extra} should be rejected, got rc={rc}"
     # an explicit --query-axis 0 must error loudly, not silently coerce
@@ -127,6 +154,7 @@ def test_cli_posture_conflicts(tmp_path):
     # the supported forms still run (sharded x stream implemented in r3)
     assert main(base) == 0
     assert main(base + ["--stream", "--window-tiles", "64"]) == 0
+    assert main(base + ["--stream", "--stream-scores", "candidates"]) == 0
     assert main(base + ["--sharded", "--stream",
                         "--window-tiles", "64"]) == 0
 
