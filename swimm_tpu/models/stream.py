@@ -79,6 +79,15 @@ def plan_windows(layout, window_tiles: int):
     Returns (spans [(g0, g1) block ranges], r_cap = max blocks per window).
     Every window shares one compiled kernel shape (window_tiles tiles,
     r_cap + 1 output rows — the +1 is the trash row for padding tiles).
+
+    Spans are BALANCED, not greedy-filled: with n_win = ceil(T /
+    window_tiles) windows either way, boundaries sit at the block edges
+    nearest w*T/n_win. Greedy filling concentrates all the padding in one
+    nearly-empty tail window — at Swiss-Prot scale that is ~13% of the
+    dispatched tiles, and every padded tile costs full kernel work (it
+    scores into the trash row). Balancing bounds the total padding by
+    n_win * (largest block) instead (~2%), at the same window count,
+    compiled shape, and HBM bound (window_tiles is still the cap).
     """
     cum, n_rows = layout["cum"], layout["n_rows"]
     if n_rows == 0:
@@ -89,17 +98,49 @@ def plan_windows(layout, window_tiles: int):
             f"window_tiles={window_tiles} is smaller than the largest DB "
             f"block ({biggest} tiles, ~{biggest * layout['jt']} residues); "
             "blocks cannot span windows — raise --window-tiles")
+    T = int(cum[-1])
+    n_win = -(-T // window_tiles)
+    # block index whose tile range contains each even tile boundary
+    bounds = [0]
+    for w in range(1, n_win):
+        g = int(np.searchsorted(cum, round(w * T / n_win), side="left"))
+        bounds.append(min(max(g, bounds[-1] + 1), n_rows))
+    bounds.append(n_rows)
     spans = []
-    g0 = 0
     r_cap = 0
-    while g0 < n_rows:
-        g1 = int(np.searchsorted(cum, cum[g0] + window_tiles,
-                                 side="right")) - 1
-        g1 = max(g1, g0 + 1)
+    fill_max = 0
+    for g0, g1 in zip(bounds[:-1], bounds[1:]):
+        if g1 <= g0:
+            continue
         spans.append((g0, g1))
         r_cap = max(r_cap, g1 - g0)
-        g0 = g1
+        fill_max = max(fill_max, int(cum[g1] - cum[g0]))
+    if fill_max > window_tiles:      # a huge block straddled a boundary:
+        # fall back to greedy fill (still <= window_tiles per window)
+        spans = []
+        g0 = 0
+        r_cap = 0
+        while g0 < n_rows:
+            g1 = int(np.searchsorted(cum, cum[g0] + window_tiles,
+                                     side="right")) - 1
+            g1 = max(g1, g0 + 1)
+            spans.append((g0, g1))
+            r_cap = max(r_cap, g1 - g0)
+            g0 = g1
     return spans, r_cap
+
+
+def effective_window_tiles(layout, spans, quantum: int = 64) -> int:
+    """Dispatch width actually needed for this plan: the largest span
+    fill, rounded up to `quantum` tiles (shape-cache friendliness). Every
+    padded tile costs full kernel work (it scores into the trash row), so
+    windows are allocated/dispatched at this width, not at the
+    user-facing window_tiles HBM cap."""
+    cum = layout["cum"]
+    if not spans:
+        return 0
+    fill = max(int(cum[g1] - cum[g0]) for g0, g1 in spans)
+    return -(-fill // quantum) * quantum
 
 
 def _read_chunk_tiles_into(ch, lo: int, hi: int, jt: int, V: int,
@@ -153,17 +194,18 @@ def iter_windows(packed, window_tiles: int, jt: int = 32):
     from swimm_tpu.alphabet import PAD_CODE
     layout = stream_layout(packed, jt)
     spans, r_cap = plan_windows(layout, window_tiles)
+    wt = effective_window_tiles(layout, spans)
     cum = layout["cum"]
     V = layout["V"]
     for g0, g1 in spans:
         t0, t1 = int(cum[g0]), int(cum[g1])
         # PAD-fill only the tail the reads won't overwrite (saves a
         # ~33 MB memset per full window on the prefetch thread)
-        win = np.empty((window_tiles, jt, V), np.int8)
+        win = np.empty((wt, jt, V), np.int8)
         win[t1 - t0:] = PAD_CODE
         filled = _fill_window(packed, layout, t0, t1, win)
         assert filled == t1 - t0, (filled, t0, t1)
-        orow = np.full(window_tiles, r_cap, np.int32)      # trash row
+        orow = np.full(wt, r_cap, np.int32)                # trash row
         # tile -> local row, from the analytic cumulative map
         orow[:t1 - t0] = (np.searchsorted(cum, np.arange(t0, t1),
                                           side="right") - 1 - g0)
@@ -430,11 +472,15 @@ def _scorer_dtype(mode: str, prec: str):
     return jnp.float32 if prec == "f32" else jnp.int32
 
 
-def _acc_window_step(packed, config, r_cap: int, mode: str):
-    """Jitted buffer-mode window step: score the window against a query
-    profile stack and write rows [g0, g0+r_cap) of the donated score
-    buffer in place. Returns (buf, probe) — the probe is a tiny scalar
-    alias used to bound in-flight windows without pulling scores.
+def _acc_window_step(packed, config, r_cap: int, modes: tuple):
+    """Jitted buffer-mode window step, fused over ALL padded-length
+    groups: score the window against every group's query-profile stack
+    and write rows [g0, g0+r_cap) of each donated score buffer in place.
+    ONE dispatch per window total (the per-group form paid ~15 dispatch
+    round trips per window at Swiss-Prot scale — measured ~1.5 s of the
+    2.4 s streaming-vs-resident gap). Returns (bufs, probe) — the probe
+    is a tiny scalar alias used to bound in-flight windows without
+    pulling scores.
 
     Exactness of the overwrite scheme: window w's kernel output rows
     [n_w, r_cap) were never written by the kernel (garbage); they land at
@@ -448,7 +494,7 @@ def _acc_window_step(packed, config, r_cap: int, mode: str):
     from functools import partial
 
     per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
-    key = ("acc", r_cap, mode, config.gap_open, config.gap_extend,
+    key = ("acc", r_cap, modes, config.gap_open, config.gap_extend,
            config.precision)
     hit = per_db.get(key)
     if hit is not None:
@@ -456,25 +502,32 @@ def _acc_window_step(packed, config, r_cap: int, mode: str):
 
     prec = ("f32" if config.precision in ("adaptive", "ladder")
             else config.precision)
-    scorer = make_span_scorer(mode, r_cap, config.gap_open,
-                              config.gap_extend, prec)
+    scorers = [make_span_scorer(mode, r_cap, config.gap_open,
+                                config.gap_extend, prec) for mode in modes]
 
     @partial(jax.jit, donate_argnums=0)
-    def step(buf, tiles_w, orow_w, qps, g0):
-        upd = jnp.stack([scorer(tiles_w, orow_w, qps[qi])[:r_cap]
-                         for qi in range(qps.shape[0])])  # drop trash row
-        buf = jax.lax.dynamic_update_slice(
-            buf, upd.astype(buf.dtype), (jnp.int32(0), g0, jnp.int32(0)))
-        return buf, buf[0, 0, 0]
+    def step(bufs, tiles_w, orow_w, qps_list, g0):
+        out = []
+        for buf, scorer, qps in zip(bufs, scorers, qps_list):
+            upd = jnp.stack([scorer(tiles_w, orow_w, qps[qi])[:r_cap]
+                             for qi in range(qps.shape[0])])  # drop trash
+            out.append(jax.lax.dynamic_update_slice(
+                buf, upd.astype(buf.dtype),
+                (jnp.int32(0), g0, jnp.int32(0))))
+        return tuple(out), out[0][0, 0, 0]
     per_db[key] = step
     return step
 
 
 def _finalize_buffer_step(packed, config, k: int, n_rows: int):
-    """Jitted buffer-mode finalize: exactly the resident fused path's
-    reduction — mask pad lanes, per-query global top-k (+ whole-DB score
-    histogram under config.evalue), map lanes to sorted-db indices. Only
-    (Q, kk) pairs (+ (Q, bins, scores) counts) leave the device."""
+    """Jitted buffer-mode finalize over ALL group buffers at once:
+    exactly the resident fused path's reduction — mask pad lanes,
+    per-query global top-k (+ whole-DB score histogram under
+    config.evalue), map lanes to sorted-db indices — concatenated into
+    single (sum Q, kk) outputs. One dispatch and ONE result pull total:
+    each pull costs a full tunnel round trip (~55 ms measured), so the
+    per-group form paid ~1 s at Swiss-Prot scale just draining 16 group
+    results after the device went idle."""
     import jax
     import jax.numpy as jnp
 
@@ -498,16 +551,17 @@ def _finalize_buffer_step(packed, config, k: int, n_rows: int):
             stats.N_LEN_BINS, stats.SCORE_CAP + 1)
 
     @jax.jit
-    def fin(buf):                                 # (Q, n_rows + r_cap, V)
+    def fin(bufs):                  # tuple of (Qg, n_rows + r_cap, V)
         vs, idxs, hists = [], [], []
-        for qi in range(buf.shape[0]):
-            flat = buf[qi, :n_rows].reshape(-1)
-            scores = jnp.where(mask_dev, flat, -1)
-            v, i = jax.lax.top_k(scores, kk)
-            vs.append(v)
-            idxs.append(l2s_dev[i])
-            if hist_of is not None:
-                hists.append(hist_of(scores))
+        for buf in bufs:
+            for qi in range(buf.shape[0]):
+                flat = buf[qi, :n_rows].reshape(-1)
+                scores = jnp.where(mask_dev, flat, -1)
+                v, i = jax.lax.top_k(scores, kk)
+                vs.append(v)
+                idxs.append(l2s_dev[i])
+                if hist_of is not None:
+                    hists.append(hist_of(scores))
         if hist_of is not None:
             return jnp.stack(vs), jnp.stack(idxs), jnp.stack(hists)
         return jnp.stack(vs), jnp.stack(idxs)
@@ -532,7 +586,10 @@ def _stream_batch_buffer(packed, queries, config, groups, layout, spans,
     prec = ("f32" if config.precision in ("adaptive", "ladder")
             else config.precision)
 
-    group_states = []       # [positions, qps, step, buf] per m_pad group
+    group_positions = []
+    modes = []
+    qps_list = []
+    bufs = []
     padded_rows = 0
     for m_pad, positions in sorted(groups.items()):
         mode = select_mode(backend, m_pad)
@@ -540,27 +597,26 @@ def _stream_batch_buffer(packed, queries, config, groups, layout, spans,
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
         padded_rows += dispatched_rows(mode, m_pad) * len(positions)
-        step = _acc_window_step(packed, config, r_cap, mode)
-        buf = jnp.zeros((len(positions), n_rows + r_cap, V),
-                        _scorer_dtype(mode, prec))
-        group_states.append([positions, qps, step, buf])
+        group_positions.append(positions)
+        modes.append(mode)
+        qps_list.append(qps)
+        bufs.append(jnp.zeros((len(positions), n_rows + r_cap, V),
+                              _scorer_dtype(mode, prec)))
+    step = _acc_window_step(packed, config, r_cap, tuple(modes))
+    bufs = tuple(bufs)
+    qps_list = tuple(qps_list)
 
-    # stream loop: H2D + dispatches only — zero result pulls. The probe
-    # pull bounds windows alive on device to max_in_flight (each probe
-    # completes only after every dispatch of its window ran).
+    # stream loop: H2D + ONE fused dispatch per window — zero result
+    # pulls. The probe pull bounds windows alive on device to
+    # max_in_flight (a probe completes only after its window's step ran).
     probes: "deque" = deque()
     for win, orow, g0, n_w, _rc in prefetch_windows(
             packed, config.window_tiles, jt, depth=config.max_in_flight):
         if len(probes) >= config.max_in_flight:
             np.asarray(probes.popleft())   # window w-depth fully done
-        tiles_dev = jnp.asarray(win)
-        orow_dev = jnp.asarray(orow)
-        g0_dev = jnp.int32(g0)
-        probe = None
-        for gs in group_states:
-            gs[3], probe = gs[2](gs[3], tiles_dev, orow_dev, gs[1], g0_dev)
-        probes.append(probe)   # last dispatch of the window — its
-        # completion implies every earlier dispatch of the window ran
+        bufs, probe = step(bufs, jnp.asarray(win), jnp.asarray(orow),
+                           qps_list, jnp.int32(g0))
+        probes.append(probe)
     probes.clear()
 
     if config.evalue:
@@ -568,18 +624,20 @@ def _stream_batch_buffer(packed, queries, config, groups, layout, spans,
         _, bin_logl = stats.length_bins(packed.lengths)
     fin = _finalize_buffer_step(packed, config, config.top_k, n_rows)
     hit_lists = [None] * len(queries)
-    pending = [(gs[0], fin(gs[3])) for gs in group_states]
-    for positions, res in pending:
-        v = np.asarray(res[0])
-        i = np.asarray(res[1])
-        h = np.asarray(res[2]) if config.evalue else None
-        for row, p in enumerate(positions):
-            hits = _hits_from(packed, v[row], i[row], config.top_k)
-            if h is not None:
-                model = stats.fit_evalue_model_hist(h[row], bin_logl)
-                stats.attach_evalues(hits, model, packed.lengths)
-            hit_lists[p] = hits
-    lane_positions = len(spans) * config.window_tiles * jt * V
+    res = fin(bufs)                 # one dispatch, one pull (docstring)
+    flat_positions = [p for positions in group_positions
+                      for p in positions]
+    v = np.asarray(res[0])
+    i = np.asarray(res[1])
+    h = np.asarray(res[2]) if config.evalue else None
+    for row, p in enumerate(flat_positions):
+        hits = _hits_from(packed, v[row], i[row], config.top_k)
+        if h is not None:
+            model = stats.fit_evalue_model_hist(h[row], bin_logl)
+            stats.attach_evalues(hits, model, packed.lengths)
+        hit_lists[p] = hits
+    wt = effective_window_tiles(layout, spans)
+    lane_positions = len(spans) * wt * jt * V
     return hit_lists, padded_rows, lane_positions
 
 
@@ -689,5 +747,6 @@ def search_streaming_batch(packed, queries, config):
             model = stats.fit_evalue_model_hist(hist_sum[p], bin_logl)
             stats.attach_evalues(hits, model, packed.lengths)
         hit_lists.append(hits)
-    lane_positions = len(spans) * config.window_tiles * jt * V
+    wt = effective_window_tiles(layout, spans)
+    lane_positions = len(spans) * wt * jt * V
     return hit_lists, padded_rows, lane_positions

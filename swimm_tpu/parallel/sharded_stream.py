@@ -167,6 +167,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
                                          _hits_from, group_by_m_pad)
     from swimm_tpu.models.profile import build_query_profile
     from swimm_tpu.models.stream import (_prefetch_iter, dispatched_rows,
+                                         effective_window_tiles,
                                          plan_windows, select_mode,
                                          stream_layout)
     from swimm_tpu.parallel.sharded_search import (_device_to_host,
@@ -210,6 +211,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
 
     layout = stream_layout(packed)
     spans, r_cap = plan_windows(layout, config.window_tiles)
+    wt_eff = effective_window_tiles(layout, spans)
     jt, V = layout["jt"], layout["V"]
     n_lanes = (r_cap + 1) * V
     kk = min(config.top_k, n_lanes)
@@ -273,7 +275,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
                     hist_sum[p] = hist_sum[p] + h[row]
 
     sw_iter = _iter_super_windows(packed, layout, spans, r_cap, n_data,
-                                  config.window_tiles, rows=my_rows)
+                                  wt_eff, rows=my_rows)
     n_super = 0
     with timer.phase("stream"):
         for tiles, orow, g0s, n_ws in _prefetch_iter(
@@ -311,7 +313,7 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
 
     seconds = time.perf_counter() - t0
     total_q = sum(q.length for q in queries)
-    lane_positions = n_super * n_data * config.window_tiles * jt * V
+    lane_positions = n_super * n_data * wt_eff * jt * V
     metrics = SearchMetrics(
         cells=int(packed.total_residues) * total_q,
         padded_cells=lane_positions * padded_rows,
