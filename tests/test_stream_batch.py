@@ -54,6 +54,35 @@ def test_windows_reassemble_flat_tiles(world):
         assert seen_rows == n_rows
 
 
+def test_plan_windows_balanced(world):
+    # spans are balanced (r3): same window count as greedy fill, every
+    # span covers contiguous blocks exactly once, every fill fits the
+    # window_tiles cap, and the dispatched width (effective_window_tiles)
+    # bounds total padding by ~n_win * largest_block instead of greedy's
+    # nearly-empty tail window
+    from swimm_tpu.models.stream import (effective_window_tiles,
+                                         plan_windows, stream_layout)
+    _, _, packed = world
+    layout = stream_layout(packed)
+    cum, n_rows, T = layout["cum"], layout["n_rows"], layout["T"]
+    biggest = int((cum[1:] - cum[:-1]).max())
+    for wt in (biggest, 64, 512, 4096):
+        spans, r_cap = plan_windows(layout, wt)
+        assert spans[0][0] == 0 and spans[-1][1] == n_rows
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        fills = [int(cum[g1] - cum[g0]) for g0, g1 in spans]
+        assert max(fills) <= wt
+        eff = effective_window_tiles(layout, spans)
+        assert max(fills) <= eff <= max(fills) + 63   # quantum roundup
+        assert r_cap == max(g1 - g0 for g0, g1 in spans)
+        if wt >= 8 * biggest:
+            # roomy windows: balanced plan keeps greedy's window count
+            # and bounds total padding by n_win * (biggest + quantum),
+            # far below greedy's worst case of one nearly-empty window
+            assert len(spans) == -(-T // wt)
+            assert len(spans) * eff - T < len(spans) * (biggest + 64)
+
+
 @pytest.mark.parametrize("merge", ["buffer", "candidates"])
 def test_stream_batch_matches_resident_multi_mpad(world, merge):
     # several padded-length groups share each uploaded window; hit lists
