@@ -231,16 +231,20 @@ def test_config_rejects_evalue_combinations():
         SearchConfig(evalue=True, query_pack=True)
 
 
-def test_streaming_evalue_matches_resident(evalue_world):
+@pytest.mark.parametrize("merge", ["buffer", "candidates"])
+def test_streaming_evalue_matches_resident(evalue_world, merge):
     # windowed histograms sum to exactly the whole-DB histogram, so the
-    # streaming statistics posture must reproduce the resident one:
-    # identical hit lists AND (near-)identical E-values
+    # streaming statistics posture must reproduce the resident one —
+    # identical hit lists AND (near-)identical E-values — under BOTH
+    # merge strategies (the buffer finalize computes the histogram in
+    # one whole-DB pass; candidates mode sums per-window histograms)
     _, queries, packed = evalue_world
     res, _ = search(packed, queries,
                     SearchConfig(backend="xla", top_k=8, evalue=True))
     strm, _ = search(packed, queries,
                      SearchConfig(backend="xla", top_k=8, evalue=True,
-                                  db_stream=True, window_tiles=64))
+                                  db_stream=True, window_tiles=64,
+                                  stream_scores=merge))
     for rr, rs in zip(res, strm):
         assert [(h.score, h.title) for h in rr.hits] == \
                [(h.score, h.title) for h in rs.hits]
