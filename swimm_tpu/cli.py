@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "accumulates the score histogram on device "
                          "(psum over the mesh when sharded); works "
                          "with every serving posture")
+    se.add_argument("--max-evalue", type=float, default=None,
+                    help="report only hits with E-value <= this bound "
+                         "(requires --evalue; ranks renumbered after the "
+                         "filter — the SSEARCH/BLAST-style significance "
+                         "cutoff)")
     se.add_argument("--json", action="store_true", help="JSON output")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
@@ -269,6 +274,14 @@ def _run(args) -> int:
             raise ValueError(
                 "--evalue runs per-query statistics; it does not "
                 "combine with --query-pack — drop one of the two flags")
+        if args.max_evalue is not None:
+            if not args.evalue:
+                raise ValueError(
+                    "--max-evalue filters on E-values, which are only "
+                    "computed under --evalue — add --evalue or drop "
+                    "--max-evalue")
+            if args.max_evalue <= 0:
+                raise ValueError("--max-evalue must be positive")
         packed = load_db(args.db)
         queries = read_fasta(args.query)
         stream_kw = {k: v for k, v in
@@ -307,6 +320,14 @@ def _run(args) -> int:
                     **kw)
             else:
                 results, metrics = search(packed, queries, config)
+        if args.max_evalue is not None:
+            # significance cutoff on the REPORTED list only (scores and
+            # the fitted null model are untouched); ranks renumbered so
+            # the output stays a dense 1..n table
+            from dataclasses import replace
+            for r in results:
+                r.hits = [replace(h, rank=i + 1) for i, h in enumerate(
+                    h2 for h2 in r.hits if h2.evalue <= args.max_evalue)]
         if args.selfcheck:
             from swimm_tpu.matrices import get_matrix
             from swimm_tpu.ops import cref

@@ -280,3 +280,32 @@ def test_cli_evalue(tmp_path, capsys):
         assert "E-value" in capsys.readouterr().out, extra
     # conflicts error loudly
     assert main(base + ["--evalue", "--query-pack"]) == 2
+
+
+def test_cli_max_evalue(tmp_path, capsys):
+    from swimm_tpu.cli import main
+    queries = synth_queries(1, [50], seed=95)
+    recs = synth_db(80, seed=96, median_len=60, sigma=0.4, max_len=150,
+                    queries=[queries[0].codes], homolog_frac=0.1)
+    write_fasta(tmp_path / "db.fa", recs)
+    write_fasta(tmp_path / "q.fa", queries)
+    assert main(["preprocess", "-i", str(tmp_path / "db.fa"),
+                 "-o", str(tmp_path / "db"), "--lanes", "8"]) == 0
+    capsys.readouterr()
+    base = ["search", "-d", str(tmp_path / "db"),
+            "-q", str(tmp_path / "q.fa"), "--backend", "xla", "-r", "10",
+            "--evalue", "--json"]
+    assert main(base) == 0
+    all_hits = json.loads(capsys.readouterr().out)["results"][0]["hits"]
+    cut = sorted(h["evalue"] for h in all_hits)[len(all_hits) // 2]
+    assert main(base + ["--max-evalue", str(cut)]) == 0
+    kept = json.loads(capsys.readouterr().out)["results"][0]["hits"]
+    expect = [h for h in all_hits if h["evalue"] <= cut]
+    assert [(h["score"], h["title"]) for h in kept] == \
+           [(h["score"], h["title"]) for h in expect]
+    assert [h["rank"] for h in kept] == list(range(1, len(kept) + 1))
+    assert 0 < len(kept) < len(all_hits)
+    # requires --evalue; must be positive
+    noe = [a for a in base if a != "--evalue"]
+    assert main(noe + ["--max-evalue", "1"]) == 2
+    assert main(base + ["--max-evalue", "0"]) == 2
