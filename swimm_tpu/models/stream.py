@@ -404,14 +404,19 @@ def span_topk(scorer, tiles, orow, qps, g0, n_w, mask_p, l2s_p,
     return jnp.stack(vs), jnp.stack(idxs)
 
 
-def _window_step(packed, config, r_cap: int, mode: str, k: int):
-    """Jitted per-window step: score the window against a STACK of query
-    profiles, mask pad/ghost lanes, per-query top-k, map to sorted-db
-    indices. Only (Q, kk) pairs leave the device per (window, group)."""
+def _window_step(packed, config, r_cap: int, modes: tuple, k: int):
+    """Jitted candidates-mode window step, fused over ALL padded-length
+    groups: score the window against every group's query-profile stack
+    (span_topk per group — the contract shared with the sharded path)
+    and concatenate into (sum Q, kk) outputs. One dispatch and one
+    result-pull set per WINDOW: the per-group form paid 2–3 ~55 ms pull
+    round trips per (window, group) — at Swiss-Prot scale that is ~224
+    pulls, which made candidates mode RTT-bound (~21 s vs ~8.5 s)."""
     import jax
+    import jax.numpy as jnp
 
     per_db = _STREAM_STEP_CACHE.setdefault(packed, {})
-    key = ("step", r_cap, mode, config.gap_open, config.gap_extend,
+    key = ("step", r_cap, modes, config.gap_open, config.gap_extend,
            config.precision, k, config.evalue)
     hit = per_db.get(key)
     if hit is not None:
@@ -424,13 +429,19 @@ def _window_step(packed, config, r_cap: int, mode: str, k: int):
     seg_p = _seg_padded(packed, r_cap) if config.evalue else None
     prec = ("f32" if config.precision in ("adaptive", "ladder")
             else config.precision)
-    scorer = make_span_scorer(mode, r_cap, config.gap_open,
-                              config.gap_extend, prec)
+    scorers = [make_span_scorer(mode, r_cap, config.gap_open,
+                                config.gap_extend, prec) for mode in modes]
 
     @jax.jit
-    def step(tiles_w, orow_w, qps, g0, n_w):
-        return span_topk(scorer, tiles_w, orow_w, qps, g0, n_w,
-                         mask_p, l2s_p, n_lanes, V, kk, seg_p=seg_p)
+    def step(tiles_w, orow_w, qps_list, g0, n_w):
+        outs = [span_topk(scorer, tiles_w, orow_w, qps, g0, n_w,
+                          mask_p, l2s_p, n_lanes, V, kk, seg_p=seg_p)
+                for scorer, qps in zip(scorers, qps_list)]
+        res = (jnp.concatenate([o[0] for o in outs]),
+               jnp.concatenate([o[1] for o in outs]))
+        if seg_p is not None:
+            res += (jnp.concatenate([o[2] for o in outs]),)
+        return res
 
     per_db[key] = step
     return step
@@ -682,9 +693,11 @@ def search_streaming_batch(packed, queries, config):
         return _stream_batch_buffer(packed, queries, config, groups,
                                     layout, spans, r_cap)
 
-    # per-group stacked profiles + jitted window steps (compiled once per
-    # (m_pad, Q) — every window reuses them)
-    group_steps = []
+    # per-group stacked profiles + ONE fused window step over all groups
+    # (compiled once — every window reuses it)
+    group_positions = []
+    modes = []
+    qps_list = []
     padded_rows = 0
     for m_pad, positions in sorted(groups.items()):
         mode = select_mode(backend, m_pad)
@@ -692,37 +705,37 @@ def search_streaming_batch(packed, queries, config):
             build_query_profile(queries[p].codes, config.matrix, mm)
             for p in positions]))
         padded_rows += dispatched_rows(mode, m_pad) * len(positions)
-        step = _window_step(packed, config, r_cap, mode, config.top_k)
-        group_steps.append((positions, qps, step))
+        group_positions.append(positions)
+        modes.append(mode)
+        qps_list.append(qps)
+    step = _window_step(packed, config, r_cap, tuple(modes), config.top_k)
+    qps_list = tuple(qps_list)
+    flat_positions = [p for positions in group_positions
+                      for p in positions]
 
-    # stream the windows: upload once, score against every group; at most
-    # max_in_flight windows of device memory alive
+    # stream the windows: upload once, score against every group in one
+    # dispatch; at most max_in_flight windows of device memory alive
     from collections import deque
     cands = [[] for _ in queries]                 # per query: (vals, idx)
     hist_sum = ([0.0] * len(queries)) if config.evalue else None
     pending: "deque" = deque()
 
     def drain():
-        for positions, res in pending.popleft():
-            v = np.asarray(jax.block_until_ready(res[0]))
-            i = np.asarray(res[1])
-            for row, p in enumerate(positions):
-                cands[p].append((v[row], i[row]))
-            if config.evalue:
-                h = np.asarray(res[2])            # (Q, bins, scores)
-                for row, p in enumerate(positions):
-                    hist_sum[p] = hist_sum[p] + h[row]
+        res = pending.popleft()
+        v = np.asarray(res[0])                    # (sum Q, kk)
+        i = np.asarray(res[1])
+        h = np.asarray(res[2]) if config.evalue else None
+        for row, p in enumerate(flat_positions):
+            cands[p].append((v[row], i[row]))
+            if h is not None:
+                hist_sum[p] = hist_sum[p] + h[row]
 
     for win, orow, g0, n_w, _rc in prefetch_windows(
             packed, config.window_tiles, jt, depth=config.max_in_flight):
         if len(pending) >= config.max_in_flight:
             drain()
-        tiles_dev = jnp.asarray(win)              # async H2D, once/window
-        orow_dev = jnp.asarray(orow)
-        pending.append([
-            (positions, step(tiles_dev, orow_dev, qps,
-                             jnp.int32(g0), jnp.int32(n_w)))
-            for positions, qps, step in group_steps])
+        pending.append(step(jnp.asarray(win), jnp.asarray(orow),
+                            qps_list, jnp.int32(g0), jnp.int32(n_w)))
     while pending:
         drain()
 
