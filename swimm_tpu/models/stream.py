@@ -459,16 +459,16 @@ def resolve_stream_scores(config, n_queries: int, n_rows: int, r_cap: int,
 
     'buffer': per-group persistent device score buffers, written per
     window with a donated dynamic_update_slice; NO host round trips
-    inside the stream loop and ONE resident-style finalize (top-k +
-    statistics) at the end. On a high-latency link (the dev tunnel pays
-    ~33 ms per forced pull) this is the difference between
-    RTT-bound and compute-bound streaming: the candidate path drains
-    2 pulls x windows x m_pad groups mid-stream.
+    inside the stream loop and ONE fused resident-style finalize (top-k
+    + statistics) at the end — measured 0.92x resident at Swiss-Prot
+    scale on the dev tunnel (~55 ms per result pull).
 
-    'candidates': per-window device top-k, host merge — O(k) device
-    memory per query regardless of DB size (and the only option for the
-    sharded super-window path). Auto picks 'buffer' whenever the score
-    buffers fit STREAM_BUFFER_CAP."""
+    'candidates': per-window device top-k (one fused dispatch + one
+    pull set per window), host merge — O(k) device memory per query
+    regardless of DB size (and the contract the sharded super-window
+    path uses); measured 0.89x resident. Auto picks 'buffer' whenever
+    the score buffers fit STREAM_BUFFER_CAP — one fewer pull per window
+    and no per-window candidate concatenation on the host."""
     if config.stream_scores != "auto":
         return config.stream_scores
     need = n_queries * (n_rows + r_cap) * V * 4
