@@ -120,9 +120,9 @@ def main() -> int:
     # query — so even on this ~25-30 MB/s dev tunnel the single ~208 MB
     # stream overlaps the batch's compute and streaming lands near the
     # resident number, proving SURVEY.md 4.3's transfer-once model under
-    # the bounded-HBM posture. m_multiple=64 bounds the per-window
-    # dispatch count (~7 length groups instead of ~17) at a few % of
-    # padding that hides under the link anyway.
+    # the bounded-HBM posture. (r3 late: the window step is fused across
+    # all length groups, so the old m_multiple=64 group-count mitigation
+    # only added padding — default m_multiple now.)
     stream_rows = []
     if not on_tpu:
         sweeps = [(256, 2)]     # CPU smoke: a window must be small next to
@@ -134,7 +134,7 @@ def main() -> int:
         sweeps = [(8192, 2), (8192, 4), (16384, 3)]
     for wt, mif in sweeps:
         scfg = SearchConfig(top_k=16, db_stream=True, window_tiles=wt,
-                            max_in_flight=mif, m_multiple=64,
+                            max_in_flight=mif,
                             backend="pallas" if on_tpu else "xla")
         search(packed, queries, scfg)          # warm: compile this shape
         best_s = None

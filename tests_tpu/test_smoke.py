@@ -97,15 +97,19 @@ def test_smoke_config4_sharded(world):
 
 
 def test_smoke_streaming_matches_resident(world):
-    # the window-major batch streaming posture (r3) on real hardware:
-    # hit lists bit-identical to the resident path
+    # the window-major batch streaming posture (r3) on real hardware,
+    # under BOTH merge strategies (persistent device score buffers /
+    # per-window candidates): hit lists bit-identical to the resident
+    # path
     from swimm_tpu.models.engine import SearchConfig, search
     packed, _recs, queries = world
     resident, _ = search(packed, queries, SearchConfig(top_k=8))
-    streamed, _ = search(packed, queries,
-                         SearchConfig(top_k=8, db_stream=True,
-                                      window_tiles=256))
-    assert _hit_keys(streamed) == _hit_keys(resident)
+    for merge in ("buffer", "candidates"):
+        streamed, _ = search(packed, queries,
+                             SearchConfig(top_k=8, db_stream=True,
+                                          window_tiles=256,
+                                          stream_scores=merge))
+        assert _hit_keys(streamed) == _hit_keys(resident), merge
 
 
 def test_smoke_evalue_postures_agree(world):
