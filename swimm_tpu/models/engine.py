@@ -16,7 +16,7 @@ driver remains the bit-exactness anchor.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
@@ -680,6 +680,37 @@ def search(packed: PackedDb, queries, config: SearchConfig | None = None):
     Returns (list[QueryResult], SearchMetrics).
     """
     config = config or SearchConfig()
+    if not config.db_stream and config.resolve_backend() == "pallas":
+        # whole-DB single-dispatch capacity guard: the ragged kernel's
+        # (T,) outrow is a scalar-prefetched SMEM operand, so a tile
+        # stream past RESIDENT_TILE_CAP cannot compile as one dispatch
+        # (ops/pallas_scorer.py). Serve such DBs through the windowed
+        # streaming path instead — same bit-exact hits, measured 0.9x
+        # the resident rate, and the re-upload overlaps compute.
+        from swimm_tpu.ops.pallas_scorer import RESIDENT_TILE_CAP
+        T = sum(ch.n_blocks * (ch.L // 32) for ch in packed.chunks)
+        if T > RESIDENT_TILE_CAP:
+            if config.query_pack:
+                raise ValueError(
+                    f"this database's tile stream ({T} tiles) exceeds "
+                    f"the single-dispatch capacity ({RESIDENT_TILE_CAP}) "
+                    "and must serve through the streaming path, which "
+                    "does not support query_pack=True — set "
+                    "query_pack=False")
+            if config.precision == "ladder":
+                raise ValueError(
+                    f"this database's tile stream ({T} tiles) exceeds "
+                    f"the single-dispatch capacity ({RESIDENT_TILE_CAP}) "
+                    "that the ladder's whole-DB tier dispatches need — "
+                    "use precision='adaptive' (identical scores via the "
+                    "exact pass; ops/ladder.py docstring)")
+            import warnings
+            warnings.warn(
+                f"DB tile stream ({T} tiles) exceeds the single-dispatch "
+                f"scalar-prefetch capacity ({RESIDENT_TILE_CAP}); serving "
+                "via the windowed streaming path (bit-exact, ~0.9x the "
+                "resident rate)", stacklevel=2)
+            config = replace(config, db_stream=True)
     timer = PhaseTimer()
     results = []
     t0 = time.perf_counter()

@@ -685,6 +685,15 @@ def search_streaming_batch(packed, queries, config):
     layout = stream_layout(packed)
     spans, r_cap = plan_windows(layout, config.window_tiles)
     jt, V = layout["jt"], layout["V"]
+    if backend == "pallas":
+        from swimm_tpu.ops.pallas_scorer import RESIDENT_TILE_CAP
+        wt_chk = effective_window_tiles(layout, spans)
+        if wt_chk > RESIDENT_TILE_CAP:
+            raise ValueError(
+                f"window_tiles={config.window_tiles} dispatches {wt_chk} "
+                f"tiles per window, past the scalar-prefetch capacity "
+                f"({RESIDENT_TILE_CAP}, ops/pallas_scorer.py) — lower "
+                "--window-tiles")
 
     if (layout["n_rows"] > 0 and queries
             and resolve_stream_scores(config, len(queries),

@@ -66,6 +66,16 @@ SMAX_MERGE = 8  # running-max -> Smax VMEM merge interval in _dp_steps
 # (module-level so benchmarks/exp_kernel_structure.py can sweep it; 8 was
 # picked r1 and re-confirmed by the r3 sweep — see docs/KERNEL_NOTES.md)
 
+RESIDENT_TILE_CAP = 200_000
+"""Max tiles per ragged dispatch: the (T,) int32 outrow array is a
+scalar-PREFETCHED operand living in SMEM, and v5e SMEM is 1 MiB — Mosaic
+rejects compiles past ~262k tiles ("Allocation (size=...) would exceed
+memory (size=1048576) ... space=smem ... prefetched SMEM operand",
+observed at a 4M-seq / 356k-tile DB). 200k tiles (800 KB) leaves slack
+for the other scalar operands. Whole-DB single-dispatch callers must
+route DBs past this cap through the windowed streaming path (engine
+does this automatically for serving)."""
+
 
 def _negval(dtype):
     return -(1 << 28) if dtype == jnp.int32 else -3e8

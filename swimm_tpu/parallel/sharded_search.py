@@ -242,6 +242,14 @@ def plan_tile_shards(packed: PackedDb, n_data: int):
     R_loc = int(max(bounds[d + 1] - bounds[d] for d in range(n_data))) + 1
     T_max = max(int(max(cum[bounds[d + 1]] - cum[bounds[d]]
                         for d in range(n_data))), 1)
+    from swimm_tpu.ops.pallas_scorer import RESIDENT_TILE_CAP
+    if T_max > RESIDENT_TILE_CAP:
+        raise ValueError(
+            f"per-shard tile stream ({T_max} tiles over {n_data} data "
+            f"shards) exceeds the single-dispatch scalar-prefetch "
+            f"capacity ({RESIDENT_TILE_CAP}, ops/pallas_scorer.py) — "
+            "use more data shards or the streamed super-window posture "
+            "(--sharded --stream)")
 
     def build(d: int):
         g0, g1 = int(bounds[d]), int(bounds[d + 1])

@@ -213,6 +213,14 @@ def search_streaming_sharded(packed: PackedDb, queries, config=None,
     spans, r_cap = plan_windows(layout, config.window_tiles)
     wt_eff = effective_window_tiles(layout, spans)
     jt, V = layout["jt"], layout["V"]
+    if backend == "pallas":
+        from swimm_tpu.ops.pallas_scorer import RESIDENT_TILE_CAP
+        if wt_eff > RESIDENT_TILE_CAP:
+            raise ValueError(
+                f"window_tiles={config.window_tiles} dispatches {wt_eff} "
+                f"tiles per span, past the scalar-prefetch capacity "
+                f"({RESIDENT_TILE_CAP}, ops/pallas_scorer.py) — lower "
+                "--window-tiles")
     n_lanes = (r_cap + 1) * V
     kk = min(config.top_k, n_lanes)
 

@@ -113,6 +113,42 @@ def test_stream_batch_pallas_interpret(world, merge):
     assert _key(streamed) == _key(resident)
 
 
+def test_resident_cap_autoroutes_to_streaming(world, monkeypatch):
+    # a DB whose tile stream exceeds the ragged kernel's scalar-prefetch
+    # SMEM capacity cannot run as one resident dispatch (found for real
+    # at a 4M-seq / 356k-tile DB on v5e) — engine.search must route it
+    # through the streaming path with identical hits, warn, and reject
+    # the posture combinations streaming cannot serve
+    from swimm_tpu.models import stream as S
+    from swimm_tpu.ops import pallas_scorer
+    _, queries, packed = world
+    resident, _ = search(packed, queries,
+                         SearchConfig(backend="xla", top_k=8))
+    # cap chosen so the whole stream exceeds it but one 64-tile window
+    # fits: the auto-routed streaming search must itself stay legal
+    layout = S.stream_layout(packed)
+    spans, _ = S.plan_windows(layout, 64)
+    cap = S.effective_window_tiles(layout, spans)
+    assert layout["T"] > cap          # precondition: guard triggers
+    monkeypatch.setattr(pallas_scorer, "RESIDENT_TILE_CAP", cap)
+    with pytest.warns(UserWarning, match="scalar-prefetch capacity"):
+        routed, _ = search(packed, queries,
+                           SearchConfig(backend="pallas", top_k=8,
+                                        window_tiles=64))
+    assert _key(routed) == _key(resident)
+    with pytest.raises(ValueError, match="query_pack"):
+        search(packed, queries, SearchConfig(backend="pallas",
+                                             query_pack=True))
+    with pytest.raises(ValueError, match="ladder"):
+        search(packed, queries, SearchConfig(backend="pallas",
+                                             precision="ladder"))
+    # oversized windows on the pallas backend are rejected, not compiled
+    with pytest.raises(ValueError, match="window_tiles"):
+        search(packed, queries,
+               SearchConfig(backend="pallas", db_stream=True,
+                            window_tiles=4096))
+
+
 def test_stream_scores_auto_resolution(world):
     # auto picks 'buffer' when the score buffers fit STREAM_BUFFER_CAP and
     # 'candidates' when they would not (huge-DB fallback)
