@@ -254,12 +254,11 @@ def score_db_streaming(packed: PackedDb, query: FastaRecord,
         scores[g0:g0 + n_w] = np.asarray(res)[:n_w]
 
     from swimm_tpu.models.stream import prefetch_windows
-    for win, orow, g0, n_w, _rc in prefetch_windows(packed, window_tiles,
-                                                    depth=max_in_flight):
+    for dev, orow_dev, g0, n_w, _rc in prefetch_windows(
+            packed, window_tiles, depth=max_in_flight, to_device=True):
         if len(pending) >= max_in_flight:
             drain()                                 # bound live windows
-        dev = jnp.asarray(win)                      # async H2D
-        pending.append((g0, n_w, scorer(dev, jnp.asarray(orow))))
+        pending.append((g0, n_w, scorer(dev, orow_dev)))
     while pending:
         drain()
     return scatter_lane_scores(packed, scores.reshape(-1))

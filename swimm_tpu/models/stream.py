@@ -264,15 +264,34 @@ def _prefetch_iter(it, depth: int = 2):
 
 
 def prefetch_windows(packed, window_tiles: int, jt: int = 32,
-                     depth: int = 2):
+                     depth: int = 2, to_device: bool = False):
     """iter_windows through a background assembly thread: the next
     window's file reads + PAD fill overlap the device's work on the
     current one (the host loop otherwise serializes ~1-2 s of pure
     assembly into the stream at Swiss-Prot scale). Bounded queue keeps
     at most `depth` assembled windows (~33 MB each at 8192 tiles) alive
-    beyond the ones the caller holds."""
-    yield from _prefetch_iter(iter_windows(packed, window_tiles, jt),
-                              depth=depth)
+    beyond the ones the caller holds.
+
+    to_device=True: the worker thread also device_puts each window, so
+    the H2D transfer never blocks the consuming thread (jnp.asarray
+    there showed up to ~20 s of exposed host time across a 4M-seq
+    44-window stream in one run). An interleaved A/B at that scale puts
+    threaded and inline puts inside each other's spread — the dev
+    tunnel's run-to-run variance is +-20% — so this is about removing a
+    variance source, not a measured mean win. The queue then holds
+    device arrays: in-flight HBM stays (depth + caller's windows) *
+    window bytes."""
+    it = iter_windows(packed, window_tiles, jt)
+    if to_device:
+        import jax
+
+        def produce():
+            for win, orow, g0, n_w, rc in it:
+                yield (jax.device_put(win), jax.device_put(orow),
+                       g0, n_w, rc)
+        yield from _prefetch_iter(produce(), depth=depth)
+    else:
+        yield from _prefetch_iter(it, depth=depth)
 
 
 _STREAM_STEP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -617,15 +636,16 @@ def _stream_batch_buffer(packed, queries, config, groups, layout, spans,
     bufs = tuple(bufs)
     qps_list = tuple(qps_list)
 
-    # stream loop: H2D + ONE fused dispatch per window — zero result
-    # pulls. The probe pull bounds windows alive on device to
+    # stream loop: threaded H2D + ONE fused dispatch per window — zero
+    # result pulls. The probe pull bounds windows alive on device to
     # max_in_flight (a probe completes only after its window's step ran).
     probes: "deque" = deque()
-    for win, orow, g0, n_w, _rc in prefetch_windows(
-            packed, config.window_tiles, jt, depth=config.max_in_flight):
+    for tiles_dev, orow_dev, g0, n_w, _rc in prefetch_windows(
+            packed, config.window_tiles, jt, depth=config.max_in_flight,
+            to_device=True):
         if len(probes) >= config.max_in_flight:
             np.asarray(probes.popleft())   # window w-depth fully done
-        bufs, probe = step(bufs, jnp.asarray(win), jnp.asarray(orow),
+        bufs, probe = step(bufs, tiles_dev, orow_dev,
                            qps_list, jnp.int32(g0))
         probes.append(probe)
     probes.clear()
@@ -739,11 +759,12 @@ def search_streaming_batch(packed, queries, config):
             if h is not None:
                 hist_sum[p] = hist_sum[p] + h[row]
 
-    for win, orow, g0, n_w, _rc in prefetch_windows(
-            packed, config.window_tiles, jt, depth=config.max_in_flight):
+    for tiles_dev, orow_dev, g0, n_w, _rc in prefetch_windows(
+            packed, config.window_tiles, jt, depth=config.max_in_flight,
+            to_device=True):
         if len(pending) >= config.max_in_flight:
             drain()
-        pending.append(step(jnp.asarray(win), jnp.asarray(orow),
+        pending.append(step(tiles_dev, orow_dev,
                             qps_list, jnp.int32(g0), jnp.int32(n_w)))
     while pending:
         drain()
