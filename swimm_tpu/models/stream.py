@@ -466,10 +466,13 @@ def _window_step(packed, config, r_cap: int, modes: tuple, k: int):
     return step
 
 
-STREAM_BUFFER_CAP = 512 * 1024 * 1024
+STREAM_BUFFER_CAP = 2 * 1024 * 1024 * 1024
 """Device-byte budget for buffer-mode score accumulators (stream_scores=
 'auto'): Q x (n_rows + r_cap) x V x 4 bytes must fit or the batch falls
-back to candidate mode. 512 MB covers ~25 queries x 5M db sequences."""
+back to candidate mode. 2 GB covers ~25 queries x 20M db sequences and
+leaves >13 GB of v5e HBM for windows + compute; buffer mode has zero
+mid-stream result pulls, so it is also the steadier strategy on a
+high-variance link — prefer it whenever it fits."""
 
 
 def resolve_stream_scores(config, n_queries: int, n_rows: int, r_cap: int,
