@@ -113,6 +113,33 @@ def test_stream_batch_pallas_interpret(world, merge):
     assert _key(streamed) == _key(resident)
 
 
+def test_stream_mixed_modes_long_query(world, monkeypatch):
+    # a query group past the single-pass kernel's VMEM budget routes
+    # through the tiled long-query kernel INSIDE the same fused window
+    # step as the short groups (per-group modes in one jitted program) —
+    # exercised by shrinking the mode threshold instead of paying a
+    # 5k-aa interpret run; hit lists stay bit-identical under both merge
+    # strategies
+    from swimm_tpu.models.stream import select_mode
+    from swimm_tpu.ops import longquery, pallas_scorer
+    _, queries, packed = world
+    pair = [queries[0], queries[4]]              # 24 aa + 100 aa
+    resident, _ = search(packed, pair,
+                         SearchConfig(backend="xla", top_k=8))
+    monkeypatch.setattr(pallas_scorer, "max_query_pad", lambda: 64)
+    monkeypatch.setattr(longquery, "LONG_TILE_M", 32)
+    m_pads = {-(-max(q.length, 1) // 16) * 16 for q in pair}
+    assert {select_mode("pallas", m) for m in m_pads} == \
+        {"tiles", "tiles_long"}                  # genuinely mixed
+    # buffer mode only: candidates shares span_topk (tested at length
+    # elsewhere) and interpret-mode long-kernel runs cost ~4 min each
+    streamed, _ = search(packed, pair,
+                         SearchConfig(backend="pallas", top_k=8,
+                                      db_stream=True, window_tiles=4096,
+                                      stream_scores="buffer"))
+    assert _key(streamed) == _key(resident)
+
+
 def test_resident_cap_autoroutes_to_streaming(world, monkeypatch):
     # a DB whose tile stream exceeds the ragged kernel's scalar-prefetch
     # SMEM capacity cannot run as one resident dispatch (found for real
