@@ -63,7 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "default: SearchConfig's)")
     se.add_argument("--max-in-flight", type=int, default=None,
                     help="streaming windows alive on device (--stream "
-                         "only; default: SearchConfig's)")
+                         "only; default: SearchConfig's 2 — measured "
+                         "best; deeper buys nothing because window "
+                         "steps serialize on the score-buffer chain)")
     se.add_argument("--stream-scores",
                     choices=["auto", "buffer", "candidates"], default=None,
                     help="streaming merge strategy (--stream only): "
