@@ -14,6 +14,18 @@ vs_baseline divides by 150 — the midpoint of the reference's host-only
 dual-Xeon AVX2 whole-search figure (~100-200 GCUPS, BASELINE.md,
 unverified [paper-mem]) — i.e. one v5e chip vs the reference's whole node.
 
+Link-health context (round 4): the dev tunnel's character swings by
+ORDERS OF MAGNITUDE between epochs — measured 25-30 MB/s H2D (r2),
+~580 MB/s H2D + ~55 ms/result-pull (r3), and ~40-100 MB/s + ~1.8 s/pull
+(r4). Numbers that depend on the link (streaming H2D overlap; anything
+with per-rep result pulls) are only interpretable next to the link state
+they were measured under, so every run now
+  - probes the link first and reports it ("h2d_mbps", "pull_rtt_ms"),
+  - runs under a wall-clock budget (SWTPU_BENCH_BUDGET_S, default 450 s)
+    and degrades gracefully: repeats shrink and optional extras are
+    skipped (with a reason key) rather than timing the whole run out —
+    the headline number always prints.
+
 Extra keys (same line): seq_scores/s and the roofline MFU figures from
 benchmarks/roofline.py (VERDICT r1 #5) — skipped if SWTPU_BENCH_NO_MFU=1 —
 plus the round-3 serving postures on the same DB/batch: window-major batch
@@ -31,12 +43,40 @@ import json
 import os
 import pathlib
 import sys
+import time
 
 import numpy as np
 
 N_SEQS = 570_000
 N_QUERIES = 20
 REPO = pathlib.Path(__file__).resolve().parent
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("SWTPU_BENCH_BUDGET_S", "450"))
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T0
+
+
+def probe_link():
+    """Measure the tunnel's bulk H2D bandwidth and result-pull round trip
+    (~seconds total). Both swing wildly between epochs (module docstring);
+    reporting them makes every link-dependent number interpretable."""
+    import jax
+    import jax.numpy as jnp
+    x = np.zeros(16 * 1024 * 1024, np.int8)
+    t0 = time.perf_counter()
+    jax.device_put(x).block_until_ready()
+    h2d_mbps = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    f = jax.jit(lambda a: a + 1.0)
+    y = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(f(y))                      # compile + first pull
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(y))
+        ts.append(time.perf_counter() - t0)
+    return round(h2d_mbps, 1), round(sorted(ts)[1] * 1000, 1)
 
 
 def main() -> int:
@@ -68,6 +108,14 @@ def main() -> int:
                              homolog_frac=0.0005)
         packed = build_db(str(fasta), dbdir, V=128)
 
+    link = {}
+    if on_tpu:
+        try:
+            h2d, rtt = probe_link()
+            link = {"h2d_mbps": h2d, "pull_rtt_ms": rtt}
+        except Exception as e:
+            link = {"link_probe_error": f"{type(e).__name__}: {e}"[:120]}
+
     # max-throughput posture: per-length compiled shapes (query_pack=False)
     # — tightest padding; the deterministic query set means the ~15 kernel
     # shapes compile once ever and persist in .jax_cache. The bounded-shape
@@ -77,8 +125,10 @@ def main() -> int:
                        backend="pallas" if on_tpu else "xla")
     search(packed, queries, cfg)          # warmup: compile + DB upload
     best = None
-    for _ in range(3):
+    reps = 0
+    while reps < 3 and (reps == 0 or elapsed() < 0.55 * BUDGET_S):
         _, met = search(packed, queries, cfg)
+        reps += 1
         if best is None or met.seconds < best.seconds:
             best = met
 
@@ -92,44 +142,80 @@ def main() -> int:
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 150.0, 2),
         "seq_scores_per_sec_M": round(best.seqs_per_sec / 1e6, 2),
+        "resident_reps": reps,
+        **link,
     }
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_EXTRAS"):
-        # round-3 postures on the same DB + batch (best of 2, warm)
-        try:
-            scfg = SearchConfig(top_k=16, db_stream=True, backend="pallas")
-            search(packed, queries, scfg)                  # warm compiles
-            m = min((search(packed, queries, scfg)[1] for _ in range(2)),
-                    key=lambda m: m.seconds)
-            out["stream_gcups"] = round(m.gcups, 1)
-            out["stream_frac_of_resident"] = round(m.gcups / gcups, 2)
-        except Exception as e:
-            out["stream_error"] = f"{type(e).__name__}: {e}"[:120]
-        try:
-            lcfg = SearchConfig(top_k=16, precision="ladder",
-                                backend="pallas")
-            search(packed, queries, lcfg)                  # warm compiles
-            m = min((search(packed, queries, lcfg)[1] for _ in range(2)),
-                    key=lambda m: m.seconds)
-            out["ladder_gcups"] = round(m.gcups, 1)
-            out["ladder_frac_of_resident"] = round(m.gcups / gcups, 2)
-        except Exception as e:
-            out["ladder_error"] = f"{type(e).__name__}: {e}"[:120]
+        # round-3 postures on the same DB + batch. Streaming re-crosses the
+        # link once per search; at the probed h2d_mbps the link-bound floor
+        # for one pass is db_mb / h2d_mbps seconds — reported as
+        # stream_link_floor_s so a low stream_gcups on a degraded link is
+        # attributable (VERDICT r3-bench discrepancy: 0.25x recorded by the
+        # driver vs 0.92x measured in-round was a tunnel epoch, not a
+        # regression).
+        db_mb = sum(ch.n_blocks * ch.L * ch.V
+                    for ch in packed.chunks) / 1e6
+        if elapsed() < 0.70 * BUDGET_S:
+            try:
+                scfg = SearchConfig(top_k=16, db_stream=True,
+                                    backend="pallas")
+                m = None
+                for _ in range(3):
+                    _, mi = search(packed, queries, scfg)
+                    if m is None or mi.seconds < m.seconds:
+                        m = mi
+                    if elapsed() > 0.80 * BUDGET_S:
+                        break
+                out["stream_gcups"] = round(m.gcups, 1)
+                out["stream_frac_of_resident"] = round(m.gcups / gcups, 2)
+                if link.get("h2d_mbps"):
+                    out["stream_link_floor_s"] = round(
+                        db_mb / link["h2d_mbps"], 1)
+                    out["stream_seconds"] = round(m.seconds, 1)
+            except Exception as e:
+                out["stream_error"] = f"{type(e).__name__}: {e}"[:120]
+        else:
+            out["stream_skipped"] = "wall budget"
+        if elapsed() < 0.80 * BUDGET_S:
+            try:
+                lcfg = SearchConfig(top_k=16, precision="ladder",
+                                    backend="pallas")
+                search(packed, queries, lcfg)              # warm compiles
+                m = None
+                for _ in range(2):
+                    _, mi = search(packed, queries, lcfg)
+                    if m is None or mi.seconds < m.seconds:
+                        m = mi
+                    if elapsed() > 0.88 * BUDGET_S:
+                        break
+                out["ladder_gcups"] = round(m.gcups, 1)
+                out["ladder_frac_of_resident"] = round(m.gcups / gcups, 2)
+            except Exception as e:
+                out["ladder_error"] = f"{type(e).__name__}: {e}"[:120]
+        else:
+            out["ladder_skipped"] = "wall budget"
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_MFU"):
-        try:
-            sys.path.insert(0, str(REPO / "benchmarks"))
-            import roofline
-            opc = roofline.ops_per_cell(1024)
-            padded = roofline.measure_kernel_padded_gcups(1024)
-            issued = padded["median"] * 1e9 * opc["total"]
-            out["kernel_padded_gcups"] = round(padded["median"], 1)
-            out["kernel_padded_gcups_band"] = [round(padded["min"], 1),
-                                               round(padded["max"], 1)]
-            out["mfu_pct"] = round(100 * issued / roofline.VPU_PEAK_OPS, 1)
-            out["mfu_pct_band"] = [
-                round(100 * padded[k] * 1e9 * opc["total"]
-                      / roofline.VPU_PEAK_OPS, 1) for k in ("min", "max")]
-        except Exception as e:            # never fail the headline number
-            out["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
+        if elapsed() < 0.88 * BUDGET_S:
+            try:
+                sys.path.insert(0, str(REPO / "benchmarks"))
+                import roofline
+                opc = roofline.ops_per_cell(1024)
+                padded = roofline.measure_kernel_padded_gcups(1024)
+                issued = padded["median"] * 1e9 * opc["total"]
+                out["kernel_padded_gcups"] = round(padded["median"], 1)
+                out["kernel_padded_gcups_band"] = [round(padded["min"], 1),
+                                                   round(padded["max"], 1)]
+                out["mfu_pct"] = round(100 * issued / roofline.VPU_PEAK_OPS,
+                                       1)
+                out["mfu_pct_band"] = [
+                    round(100 * padded[k] * 1e9 * opc["total"]
+                          / roofline.VPU_PEAK_OPS, 1)
+                    for k in ("min", "max")]
+            except Exception as e:        # never fail the headline number
+                out["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
+        else:
+            out["mfu_skipped"] = "wall budget"
+    out["bench_wall_s"] = round(elapsed(), 1)
     print(json.dumps(out))
     return 0
 

@@ -115,8 +115,41 @@ def build_parser() -> argparse.ArgumentParser:
                          "filter — the SSEARCH/BLAST-style significance "
                          "cutoff)")
     se.add_argument("--json", action="store_true", help="JSON output")
+    se.add_argument("--format", choices=["table", "json", "m8"],
+                    default=None,
+                    help="output format: 'table' (default, human "
+                         "ranked lists), 'json' (same as --json), 'm8' "
+                         "(BLAST tabular / blastp -outfmt 6: 12 "
+                         "tab-separated columns per hit; runs the "
+                         "host-side traceback per reported hit for the "
+                         "alignment geometry columns, like --align, and "
+                         "implies --evalue for the evalue/bitscore "
+                         "columns — swimm_tpu/formats.py)")
     se.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md 6.1)")
+
+    sv = sub.add_parser(
+        "serve",
+        help="persistent search server: load the DB once, answer "
+             "newline-JSON requests on stdin (swimm_tpu/server.py)")
+    sv.add_argument("-d", "--db", required=True, help="packed DB directory")
+    _add_common_scoring_flags(sv)
+    sv.add_argument("-r", "--top-k", type=int, default=16,
+                    help="default hits per query (requests may override)")
+    sv.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    sv.add_argument("--precision",
+                    choices=["adaptive", "ladder", "f32", "int32"],
+                    default="adaptive")
+    sv.add_argument("--stream", action="store_true",
+                    help="serve through the windowed streaming posture "
+                         "(databases larger than device memory)")
+    sv.add_argument("--evalue", action="store_true",
+                    help="attach E-values + bit scores to every hit")
+    sv.add_argument("--warm", default=None,
+                    help="comma-separated query lengths to pre-compile "
+                         "at startup (e.g. 144,500,1000) so the first "
+                         "request runs at steady-state latency")
 
     info = sub.add_parser("info", help="describe a packed DB")
     info.add_argument("-d", "--db", required=True)
@@ -186,6 +219,27 @@ def _run(args) -> int:
               f"({packed.total_residues} residues) into "
               f"{len(packed.chunks)} chunks at {args.output}")
         return 0
+
+    if args.command == "serve":
+        from swimm_tpu.db import load_db
+        from swimm_tpu.models.engine import SearchConfig
+        from swimm_tpu.server import serve_stdio
+        warm = ()
+        if args.warm:
+            try:
+                warm = tuple(int(x) for x in args.warm.split(",") if x)
+            except ValueError:
+                raise ValueError(
+                    f"--warm must be comma-separated integer lengths "
+                    f"(got {args.warm!r})")
+            if any(w <= 0 for w in warm):
+                raise ValueError("--warm lengths must be positive")
+        config = SearchConfig(matrix=args.matrix, gap_open=args.gap_open,
+                              gap_extend=args.gap_extend,
+                              top_k=args.top_k, backend=args.backend,
+                              precision=args.precision,
+                              db_stream=args.stream, evalue=args.evalue)
+        return serve_stdio(load_db(args.db), config, warm_lengths=warm)
 
     if args.command == "info":
         import numpy as np
@@ -276,6 +330,24 @@ def _run(args) -> int:
             raise ValueError(
                 "--evalue runs per-query statistics; it does not "
                 "combine with --query-pack — drop one of the two flags")
+        fmt = args.format
+        if fmt is None:
+            fmt = "json" if args.json else "table"
+        elif args.json and fmt != "json":
+            raise ValueError(
+                f"--json conflicts with --format {fmt} — pick one")
+        if fmt == "m8":
+            if args.align:
+                raise ValueError(
+                    "--format m8 is a fixed 12-column tabular format; "
+                    "--align's alignment blocks do not apply — drop "
+                    "--align (m8 already includes alignment geometry)")
+            if args.query_pack:
+                raise ValueError(
+                    "--format m8 computes E-values (implied --evalue), "
+                    "which do not combine with --query-pack — drop "
+                    "--query-pack")
+            args.evalue = True   # the evalue/bitscore columns
         if args.max_evalue is not None:
             if not args.evalue:
                 raise ValueError(
@@ -348,7 +420,7 @@ def _run(args) -> int:
             print(f"selfcheck: PASS ({n_checked} hit scores verified "
                   "against the C reference scorer)", file=sys.stderr)
         aligns = None
-        if args.align:
+        if args.align or fmt == "m8":
             from swimm_tpu.ops.traceback import sw_align
             aligns = []
             for q, r in zip(queries, results):
@@ -363,7 +435,16 @@ def _run(args) -> int:
                             f"score {h.score} for {h.title!r}")
                     row.append(a)
                 aligns.append(row)
-        if args.json:
+        if fmt == "m8":
+            # pure TSV on stdout (pipe-friendly); run summary to stderr
+            from swimm_tpu.formats import m8_rows
+            for qi, r in enumerate(results):
+                for line in m8_rows(r, aligns[qi]):
+                    print(line)
+            print(f"time: {metrics.seconds:.3f}s  "
+                  f"GCUPS: {metrics.gcups:.2f}  "
+                  f"seqs/s: {metrics.seqs_per_sec:.0f}", file=sys.stderr)
+        elif fmt == "json":
             out = {
                 "results": [{"query": r.query_title,
                              "hits": [{"rank": h.rank, "score": h.score,

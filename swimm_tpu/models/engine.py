@@ -122,6 +122,8 @@ class Hit:
     orig_idx: int
     title: str
     evalue: float | None = None   # set only under SearchConfig.evalue
+    bits: float | None = None     # empirical bit score, set with evalue
+    # (utils/stats.attach_evalues; consumed by formats.py m8 output)
 
 
 def _fmt_evalue(e: float) -> str:
@@ -502,6 +504,19 @@ def _hits_from(packed: PackedDb, v: np.ndarray, si: np.ndarray, k: int):
             for r, j in enumerate(keep)]
 
 
+@jax.jit
+def _concat_groups(parts):
+    """Concatenate per-group result tuples ((Q_g, ...) arrays) into single
+    (sum Q_g, ...) arrays ON DEVICE — so a batch search drains through ONE
+    result pull per output instead of one per (group, output). Each pull is
+    a full host<->device round trip; the dev tunnel has been measured
+    anywhere from ~55 ms to ~1.8 s per pull across epochs, so a 16-group
+    batch paying 2-3 pulls per group could spend multiples of its own
+    compute time just draining results (the r3 streaming lesson — "pull
+    once, not per unit of work" — applied to the resident path)."""
+    return tuple(jnp.concatenate(arrs) for arrs in zip(*parts))
+
+
 def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     """Whole-DB search for a query batch.
 
@@ -543,18 +558,27 @@ def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):
     if config.evalue:
         from swimm_tpu.utils import stats
         _, bin_logl = stats.length_bins(packed.lengths)
-    for positions, res in pending:
-        # explicit device sync at the drain: timers around this path must
-        # never report un-synced GCUPS even if the np.asarray below is ever
-        # refactored away (VERDICT r1 weak #7)
-        vs = np.asarray(jax.block_until_ready(res[0]))
-        sis = np.asarray(res[1])
-        hists = np.asarray(res[2]) if config.evalue else None
-        for row, p in enumerate(positions):
-            out[p] = _hits_from(packed, vs[row], sis[row], config.top_k)
-            if hists is not None:
-                model = stats.fit_evalue_model_hist(hists[row], bin_logl)
+    if not pending:
+        return out, padded_rows
+    # drain through ONE pull per output array (see _concat_groups), with
+    # an explicit device sync: timers around this path must never report
+    # un-synced GCUPS even if the np.asarray below is ever refactored
+    # away (VERDICT r1 weak #7)
+    res = (pending[0][1] if len(pending) == 1
+           else _concat_groups(tuple(r for _, r in pending)))
+    vs_all = np.asarray(jax.block_until_ready(res[0]))
+    sis_all = np.asarray(res[1])
+    hists_all = np.asarray(res[2]) if config.evalue else None
+    row = 0
+    for positions, _ in pending:
+        for p in positions:
+            out[p] = _hits_from(packed, vs_all[row], sis_all[row],
+                                config.top_k)
+            if hists_all is not None:
+                model = stats.fit_evalue_model_hist(hists_all[row],
+                                                    bin_logl)
                 stats.attach_evalues(out[p], model, packed.lengths)
+            row += 1
     return out, padded_rows
 
 

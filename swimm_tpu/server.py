@@ -1,0 +1,186 @@
+"""Persistent search server (L5 extension — production serving surface).
+
+The reference is a one-shot batch tool: every invocation pays DB load +
+(on this stack) kernel compilation before the first score (SURVEY.md
+section 4.2 call stack). A production deployment serves many query
+batches against one resident database, so ``swtpu serve`` keeps a
+process alive that
+
+- loads the packed DB and uploads the ragged tile stream to HBM ONCE,
+- optionally pre-compiles the serving kernels for a set of padded query
+  lengths (``--warm``) so first-request latency is steady-state,
+- then answers newline-delimited JSON requests on stdin with one JSON
+  response line on stdout each (stderr carries logs) — the standard
+  subprocess-service protocol: trivially driven from any language, a
+  socket wrapper, or a shell heredoc; no extra dependencies.
+
+Request lines:
+  {"id": 1, "queries": [{"title": "q1", "seq": "MKV..."}, ...],
+   "top_k": 16}                  -- search; top_k optional (server default)
+  {"id": 2, "query_fasta": ">q1\\nMKV...\\n"}   -- FASTA text alternative
+  {"cmd": "ping"}                               -- liveness probe
+  {"cmd": "info"}                               -- DB + config description
+  {"cmd": "shutdown"}                           -- clean exit (also EOF)
+
+Response lines (matching "id" when given):
+  {"id": 1, "results": [{"query": ..., "hits": [{"rank", "score",
+   "title", "evalue"?, "bits"?}, ...]}, ...], "metrics": {...}}
+  {"id": 1, "error": "..."}     -- request-level failure; server stays up
+
+Scoring posture (matrix, gaps, precision, streaming, statistics) is fixed
+at server start — one compiled-program working set per process; per-
+request overrides are limited to top_k, which does not change kernel
+shapes (top-k reduction re-specializes per k; the handful of values a
+deployment uses amortize through the persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _encode_queries(req):
+    """Build FastaRecord queries from a request dict (either form)."""
+    from swimm_tpu.alphabet import encode
+    from swimm_tpu.fasta import FastaRecord, parse_fasta_str
+    if "query_fasta" in req:
+        recs = parse_fasta_str(req["query_fasta"])
+        if not recs:
+            raise ValueError("query_fasta contained no sequences")
+        return recs
+    queries = req.get("queries")
+    if not queries:
+        raise ValueError(
+            "request needs 'queries' (list of {title, seq}) or "
+            "'query_fasta' (FASTA text)")
+    recs = []
+    for i, q in enumerate(queries):
+        seq = q.get("seq", "")
+        if not seq:
+            raise ValueError(f"queries[{i}] has an empty 'seq'")
+        recs.append(FastaRecord(str(q.get("title", f"query{i}")),
+                                encode(seq)))
+    return recs
+
+
+def _hits_json(result):
+    out = []
+    for h in result.hits:
+        d = {"rank": h.rank, "score": h.score, "title": h.title}
+        if h.evalue is not None:
+            d["evalue"] = h.evalue
+            d["bits"] = h.bits
+        out.append(d)
+    return {"query": result.query_title, "hits": out}
+
+
+class SearchServer:
+    """One resident database + config; .handle(dict) -> dict per request.
+
+    Split from the stdin loop so tests (and a future socket front end)
+    can drive it in-process."""
+
+    def __init__(self, packed, config, warm_lengths=()):
+        from swimm_tpu.models.engine import search
+        self._packed = packed
+        self._config = config
+        self._search = search
+        self.n_requests = 0
+        if warm_lengths:
+            self._warm(warm_lengths)
+
+    def _warm(self, lengths) -> float:
+        """Pre-compile the serving step for these query lengths (one
+        padded-length group per distinct m_pad) with a throwaway search."""
+        from swimm_tpu.utils.synth import synth_queries
+        t0 = time.perf_counter()
+        qs = synth_queries(len(lengths), list(lengths), seed=7)
+        self._search(self._packed, qs, self._config)
+        return time.perf_counter() - t0
+
+    def info(self) -> dict:
+        p = self._packed
+        c = self._config
+        return {
+            "n_seqs": int(p.n_seqs),
+            "total_residues": int(p.total_residues),
+            "matrix": c.matrix, "gap_open": c.gap_open,
+            "gap_extend": c.gap_extend, "precision": c.precision,
+            "db_stream": c.db_stream, "evalue": c.evalue,
+            "default_top_k": c.top_k,
+            "n_requests": self.n_requests,
+        }
+
+    def handle(self, req: dict) -> dict:
+        cmd = req.get("cmd")
+        if cmd == "ping":
+            return {"ok": True, **({"id": req["id"]} if "id" in req else {})}
+        if cmd == "info":
+            return {"info": self.info(),
+                    **({"id": req["id"]} if "id" in req else {})}
+        rid = {"id": req["id"]} if "id" in req else {}
+        try:
+            queries = _encode_queries(req)
+            config = self._config
+            if "top_k" in req:
+                from dataclasses import replace
+                k = int(req["top_k"])
+                if k <= 0:
+                    raise ValueError("top_k must be positive")
+                config = replace(config, top_k=k)
+            results, metrics = self._search(self._packed, queries, config)
+            self.n_requests += 1
+            return {**rid,
+                    "results": [_hits_json(r) for r in results],
+                    "metrics": json.loads(metrics.to_json())}
+        except ValueError as e:
+            return {**rid, "error": str(e)}
+
+
+def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
+                stderr=None) -> int:
+    """Run the newline-JSON loop until EOF or a shutdown command."""
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    stderr = stderr if stderr is not None else sys.stderr
+
+    def log(msg):
+        print(f"swtpu serve: {msg}", file=stderr, flush=True)
+
+    t0 = time.perf_counter()
+    srv = SearchServer(packed, config)
+    if warm_lengths:
+        dt = srv._warm(warm_lengths)
+        log(f"warmed {len(warm_lengths)} query lengths in {dt:.1f}s")
+    log(f"ready: {packed.n_seqs} sequences resident "
+        f"({time.perf_counter() - t0:.1f}s startup); awaiting JSON "
+        "lines on stdin")
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if not isinstance(req, dict):
+                raise ValueError("request must be a JSON object")
+        except ValueError as e:
+            print(json.dumps({"error": f"bad request line: {e}"}),
+                  file=stdout, flush=True)
+            continue
+        if req.get("cmd") == "shutdown":
+            print(json.dumps(
+                {"ok": True, "served": srv.n_requests,
+                 **({"id": req["id"]} if "id" in req else {})}),
+                file=stdout, flush=True)
+            log(f"shutdown after {srv.n_requests} requests")
+            return 0
+        t1 = time.perf_counter()
+        resp = srv.handle(req)
+        if "results" in resp:
+            log(f"request served in {time.perf_counter() - t1:.2f}s "
+                f"({len(resp['results'])} queries)")
+        print(json.dumps(resp), file=stdout, flush=True)
+    log(f"stdin EOF after {srv.n_requests} requests")
+    return 0

@@ -122,10 +122,16 @@ def _fit_censored(x: np.ndarray, s: np.ndarray, w: np.ndarray,
 def attach_evalues(hits, model: EValueModel, lengths: np.ndarray) -> None:
     """Annotate engine Hit objects in place: hit.evalue from the fitted
     null model and the subject's true length (lengths: per sequence in
-    sorted-db order, i.e. PackedDb.lengths). One definition for every
-    serving posture's drain loop."""
+    sorted-db order, i.e. PackedDb.lengths), plus hit.bits — the bit
+    score under the SAME fitted model via the standard inversion
+    E = n_db * 2^(-bits), i.e. bits = surprise / ln 2 (the empirical
+    analog of BLAST's (lambda*S - ln K)/ln 2; exact for the fitted
+    Gumbel instead of a precomputed K/lambda table — formats.py m8
+    column 12). One definition for every serving posture's drain loop."""
     for h in hits:
-        h.evalue = float(model.evalue(h.score, int(lengths[h.sorted_idx])))
+        li = int(lengths[h.sorted_idx])
+        h.evalue = float(model.evalue(h.score, li))
+        h.bits = float(model.surprise(h.score, li)) / float(np.log(2.0))
 
 
 def fit_evalue_model(scores: np.ndarray, lengths: np.ndarray,

@@ -1,0 +1,159 @@
+"""Persistent search server (swimm_tpu/server.py + `swtpu serve`).
+
+The SearchServer handler is driven in-process (hits must equal a direct
+engine.search of the same queries — the server is a thin resident shell,
+not a second scoring path), and the stdio loop is driven end-to-end
+through serve_stdio with StringIO pipes: protocol framing, per-request
+error isolation, shutdown, and EOF behavior.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from swimm_tpu.alphabet import decode
+from swimm_tpu.db import build_db
+from swimm_tpu.fasta import write_fasta
+from swimm_tpu.models.engine import SearchConfig, search
+from swimm_tpu.server import SearchServer, serve_stdio
+from swimm_tpu.utils.synth import synth_db, synth_queries
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("srvdb")
+    recs = synth_db(150, seed=21)
+    dbfa = tmp / "db.fasta"
+    write_fasta(dbfa, recs)
+    return build_db(str(dbfa), tmp / "packed", V=16)
+
+
+def _cfg(**kw):
+    return SearchConfig(backend="xla", top_k=4, **kw)
+
+
+def test_handle_matches_direct_search(packed):
+    srv = SearchServer(packed, _cfg())
+    queries = synth_queries(2, [35, 70], seed=9)
+    req = {"id": 1, "queries": [
+        {"title": q.title, "seq": decode(q.codes)} for q in queries]}
+    resp = srv.handle(req)
+    assert resp["id"] == 1 and "error" not in resp
+    direct, _ = search(packed, queries, _cfg())
+    assert len(resp["results"]) == 2
+    for got, want in zip(resp["results"], direct):
+        assert got["query"] == want.query_title
+        assert [(h["rank"], h["score"], h["title"]) for h in got["hits"]] \
+            == [(h.rank, h.score, h.title) for h in want.hits]
+    assert resp["metrics"]["gcups"] > 0
+    assert srv.n_requests == 1
+
+
+def test_handle_top_k_override_and_fasta_form(packed):
+    srv = SearchServer(packed, _cfg())
+    q = synth_queries(1, [40], seed=10)[0]
+    fasta = f">{q.title}\n{decode(q.codes)}\n"
+    resp = srv.handle({"query_fasta": fasta, "top_k": 2})
+    assert len(resp["results"][0]["hits"]) == 2
+    # override must not leak into the server default
+    resp2 = srv.handle({"query_fasta": fasta})
+    assert len(resp2["results"][0]["hits"]) == 4
+
+
+def test_handle_evalue_posture(packed):
+    srv = SearchServer(packed, _cfg(evalue=True))
+    q = synth_queries(1, [50], seed=12)[0]
+    resp = srv.handle({"queries": [{"title": "t", "seq": decode(q.codes)}]})
+    h0 = resp["results"][0]["hits"][0]
+    assert "evalue" in h0 and "bits" in h0 and h0["evalue"] >= 0
+
+
+def test_handle_request_errors(packed):
+    srv = SearchServer(packed, _cfg())
+    assert "error" in srv.handle({"id": 3})                  # no queries
+    assert srv.handle({"id": 3})["id"] == 3
+    assert "error" in srv.handle({"queries": [{"title": "x", "seq": ""}]})
+    assert "error" in srv.handle({"query_fasta": ""})
+    assert "error" in srv.handle({"queries": [{"seq": "ACD"}],
+                                  "top_k": 0})
+    assert "empty" in srv.handle(
+        {"queries": [{"title": "x", "seq": ""}]})["error"]
+    assert srv.n_requests == 0                # failures don't count
+    assert srv.handle({"cmd": "ping"}) == {"ok": True}
+    info = srv.handle({"cmd": "info"})["info"]
+    assert info["n_seqs"] == packed.n_seqs
+    assert info["default_top_k"] == 4
+
+
+def test_serve_stdio_loop(packed):
+    q = synth_queries(1, [45], seed=13)[0]
+    lines = [
+        json.dumps({"cmd": "ping", "id": 0}),
+        "not json at all {",
+        json.dumps({"id": 1,
+                    "queries": [{"title": "q", "seq": decode(q.codes)}]}),
+        json.dumps({"cmd": "shutdown", "id": 2}),
+        json.dumps({"cmd": "ping"}),         # after shutdown: never read
+    ]
+    out, err = io.StringIO(), io.StringIO()
+    rc = serve_stdio(packed, _cfg(), stdin=io.StringIO("\n".join(lines)),
+                     stdout=out, stderr=err)
+    assert rc == 0
+    resp = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert resp[0] == {"ok": True, "id": 0}
+    assert "bad request line" in resp[1]["error"]
+    assert resp[2]["id"] == 1 and len(resp[2]["results"]) == 1
+    assert resp[3] == {"ok": True, "served": 1, "id": 2}
+    assert len(resp) == 4                    # nothing served post-shutdown
+    assert "ready" in err.getvalue()
+
+
+def test_serve_stdio_eof(packed):
+    out, err = io.StringIO(), io.StringIO()
+    rc = serve_stdio(packed, _cfg(), stdin=io.StringIO(""),
+                     stdout=out, stderr=err)
+    assert rc == 0 and out.getvalue() == ""
+    assert "EOF" in err.getvalue()
+
+
+def test_serve_warm_lengths(packed):
+    # warm compiles must not affect results or counters
+    srv = SearchServer(packed, _cfg(), warm_lengths=(32, 64))
+    assert srv.n_requests == 0
+    q = synth_queries(1, [32], seed=14)[0]
+    resp = srv.handle({"queries": [{"title": "w", "seq": decode(q.codes)}]})
+    assert "results" in resp
+
+
+def test_cli_serve_subprocess(tmp_path):
+    """End-to-end through the real CLI entry point as a subprocess."""
+    import subprocess
+    import sys
+    recs = synth_db(60, seed=22)
+    dbfa = tmp_path / "db.fasta"
+    write_fasta(dbfa, recs)
+    from swimm_tpu.cli import main
+    assert main(["preprocess", "-i", str(dbfa),
+                 "-o", str(tmp_path / "p"), "--lanes", "8"]) == 0
+    q = synth_queries(1, [30], seed=15)[0]
+    reqs = "\n".join([
+        json.dumps({"cmd": "ping"}),
+        json.dumps({"id": 5, "queries": [{"title": "sq",
+                                          "seq": decode(q.codes)}]}),
+        json.dumps({"cmd": "shutdown"}),
+    ]) + "\n"
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [sys.executable, "-m", "swimm_tpu.cli", "serve",
+         "-d", str(tmp_path / "p"), "--backend", "xla", "-r", "3"],
+        input=reqs, capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert p.returncode == 0, p.stderr
+    resp = [json.loads(l) for l in p.stdout.splitlines()]
+    assert resp[0] == {"ok": True}
+    assert resp[1]["id"] == 5 and len(resp[1]["results"][0]["hits"]) == 3
+    assert resp[2]["ok"] is True
+    assert "ready" in p.stderr
