@@ -504,17 +504,10 @@ def _hits_from(packed: PackedDb, v: np.ndarray, si: np.ndarray, k: int):
             for r, j in enumerate(keep)]
 
 
-@jax.jit
-def _concat_groups(parts):
-    """Concatenate per-group result tuples ((Q_g, ...) arrays) into single
-    (sum Q_g, ...) arrays ON DEVICE — so a batch search drains through ONE
-    result pull per output instead of one per (group, output). Each pull is
-    a full host<->device round trip; the dev tunnel has been measured
-    anywhere from ~55 ms to ~1.8 s per pull across epochs, so a 16-group
-    batch paying 2-3 pulls per group could spend multiples of its own
-    compute time just draining results (the r3 streaming lesson — "pull
-    once, not per unit of work" — applied to the resident path)."""
-    return tuple(jnp.concatenate(arrs) for arrs in zip(*parts))
+# one pull per output array instead of one per (group, output) — the r3
+# streaming lesson ("pull once, not per unit of work") applied to the
+# resident path; see utils/devio.py for the RTT numbers
+from swimm_tpu.utils.devio import concat_groups as _concat_groups
 
 
 def search_fused_batch(packed: PackedDb, queries, config: SearchConfig):

@@ -273,15 +273,28 @@ def topk_db_adaptive_serving(packed, groups, k: int, gap_open: int,
         handles.append(step(dev_tiles, dev_outrow, jnp.asarray(qps),
                             mask_dev))
 
+    # drain tier 1 through ONE pull per output array: concat the groups'
+    # (flags, v, idx) on device, pull 3 arrays total instead of 3 per
+    # group (utils/devio.py — at 16 groups that is 48 round trips, each
+    # 55 ms-1.8 s on this tunnel depending on epoch)
+    if len(handles) > 1:
+        from swimm_tpu.utils.devio import concat_groups
+        cat = concat_groups(tuple(handles))
+    else:
+        cat = handles[0]
+    flags_all, v_all, idx_all = (np.asarray(x) for x in cat)
+
     # per query: candidate rounds [(v, idx, rowmap, escalated_rows)]
     # and current pending-block set
     rounds = []          # [group][query] -> list of rounds
     pend_all = []        # [group][query] -> np rows pending
+    row0 = 0
     for gi, (qps, lens) in enumerate(groups):
-        flags, v, idx = handles[gi]
-        flags = np.asarray(flags)
-        v = np.asarray(v)
-        idx = np.asarray(idx)
+        nq = int(qps.shape[0])
+        flags = flags_all[row0:row0 + nq]
+        v = v_all[row0:row0 + nq]
+        idx = idx_all[row0:row0 + nq]
+        row0 += nq
         g_rounds, g_pend = [], []
         bounds = (np.minimum(np.asarray(lens, np.int64)[:, None],
                              blockmax[None, :]) * maxdiag)
