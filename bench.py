@@ -52,10 +52,26 @@ N_QUERIES = 20
 REPO = pathlib.Path(__file__).resolve().parent
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("SWTPU_BENCH_BUDGET_S", "450"))
+_T_RUN = [T0]
 
 
 def elapsed() -> float:
     return time.perf_counter() - T0
+
+
+def run_elapsed() -> float:
+    """Seconds since the budget anchor. First device contact after
+    process start stalls for MINUTES (observed 275-325 s, every fresh
+    process), and the resident warmup pays another ~5 min of per-shape
+    program loads; both are environment, not measurement, so the phase
+    budget re-anchors after the probe and again after warmup."""
+    return time.perf_counter() - _T_RUN[0]
+
+
+def note(msg: str) -> None:
+    """Phase progress to stderr (stdout stays the one JSON line); lets a
+    timed-out run show WHERE the wall clock went."""
+    print(f"[bench +{elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def probe_link():
@@ -108,6 +124,7 @@ def main() -> int:
                              homolog_frac=0.0005)
         packed = build_db(str(fasta), dbdir, V=128)
 
+    note("db ready")
     link = {}
     if on_tpu:
         try:
@@ -115,22 +132,31 @@ def main() -> int:
             link = {"h2d_mbps": h2d, "pull_rtt_ms": rtt}
         except Exception as e:
             link = {"link_probe_error": f"{type(e).__name__}: {e}"[:120]}
+    _T_RUN[0] = time.perf_counter()       # budget anchor (see run_elapsed)
 
     # max-throughput posture: per-length compiled shapes (query_pack=False)
     # — tightest padding; the deterministic query set means the ~15 kernel
     # shapes compile once ever and persist in .jax_cache. The bounded-shape
     # packed posture (default in production) is measured in
     # benchmarks/bench_serving.py; both are recorded in BASELINE.md.
+    note(f"link probe done: {link}")
     cfg = SearchConfig(top_k=16, query_pack=False,
                        backend="pallas" if on_tpu else "xla")
     search(packed, queries, cfg)          # warmup: compile + DB upload
+    note("resident warmup done")
+    _T_RUN[0] = time.perf_counter()       # re-anchor: warmup pays one-time
+    # per-process costs (device acquisition stalls, per-shape program
+    # loads through the tunnel — measured ~5-6 min/fresh process even
+    # with every program in the persistent cache); the budget should
+    # gate MEASUREMENT time, not environment time
     best = None
     reps = 0
-    while reps < 3 and (reps == 0 or elapsed() < 0.55 * BUDGET_S):
+    while reps < 3 and (reps == 0 or run_elapsed() < 0.55 * BUDGET_S):
         _, met = search(packed, queries, cfg)
         reps += 1
         if best is None or met.seconds < best.seconds:
             best = met
+        note(f"resident rep {reps}: {met.seconds:.1f}s")
 
     gcups = best.gcups                    # real cells / time
     out = {
@@ -155,7 +181,7 @@ def main() -> int:
         # regression).
         db_mb = sum(ch.n_blocks * ch.L * ch.V
                     for ch in packed.chunks) / 1e6
-        if elapsed() < 0.70 * BUDGET_S:
+        if run_elapsed() < 0.70 * BUDGET_S:
             try:
                 scfg = SearchConfig(top_k=16, db_stream=True,
                                     backend="pallas")
@@ -164,8 +190,9 @@ def main() -> int:
                     _, mi = search(packed, queries, scfg)
                     if m is None or mi.seconds < m.seconds:
                         m = mi
-                    if elapsed() > 0.80 * BUDGET_S:
+                    if run_elapsed() > 0.80 * BUDGET_S:
                         break
+                note(f"stream best: {m.seconds:.1f}s")
                 out["stream_gcups"] = round(m.gcups, 1)
                 out["stream_frac_of_resident"] = round(m.gcups / gcups, 2)
                 if link.get("h2d_mbps"):
@@ -176,7 +203,7 @@ def main() -> int:
                 out["stream_error"] = f"{type(e).__name__}: {e}"[:120]
         else:
             out["stream_skipped"] = "wall budget"
-        if elapsed() < 0.80 * BUDGET_S:
+        if run_elapsed() < 0.80 * BUDGET_S:
             try:
                 lcfg = SearchConfig(top_k=16, precision="ladder",
                                     backend="pallas")
@@ -186,8 +213,9 @@ def main() -> int:
                     _, mi = search(packed, queries, lcfg)
                     if m is None or mi.seconds < m.seconds:
                         m = mi
-                    if elapsed() > 0.88 * BUDGET_S:
+                    if run_elapsed() > 0.88 * BUDGET_S:
                         break
+                note(f"ladder best: {m.seconds:.1f}s")
                 out["ladder_gcups"] = round(m.gcups, 1)
                 out["ladder_frac_of_resident"] = round(m.gcups / gcups, 2)
             except Exception as e:
@@ -195,10 +223,11 @@ def main() -> int:
         else:
             out["ladder_skipped"] = "wall budget"
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_MFU"):
-        if elapsed() < 0.88 * BUDGET_S:
+        if run_elapsed() < 0.88 * BUDGET_S:
             try:
                 sys.path.insert(0, str(REPO / "benchmarks"))
                 import roofline
+                note("mfu section start")
                 opc = roofline.ops_per_cell(1024)
                 padded = roofline.measure_kernel_padded_gcups(1024)
                 issued = padded["median"] * 1e9 * opc["total"]
