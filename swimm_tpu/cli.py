@@ -167,10 +167,20 @@ def build_parser() -> argparse.ArgumentParser:
 def _enable_compile_cache():
     """Persistent XLA compilation cache: CLI runs are one process each, so
     without this every invocation pays full kernel compile (~30s+/variant
-    over the device tunnel; SURVEY.md section 8 environment notes)."""
+    over the device tunnel; SURVEY.md section 8 environment notes).
+
+    Also restores standard JAX_PLATFORMS semantics: this environment's
+    axon plugin sitecustomize force-sets jax_platforms="axon,cpu" at
+    import, which silently overrides the env var — so a user (or a CI
+    harness sharing the machine with a TPU job) asking for
+    JAX_PLATFORMS=cpu would contend for the device instead. Honor the
+    env var explicitly."""
     import os
     try:
         import jax
+        p = os.environ.get("JAX_PLATFORMS")
+        if p:
+            jax.config.update("jax_platforms", p)
         d = os.environ.get("SWTPU_CACHE",
                            os.path.expanduser("~/.cache/swimm_tpu/jax"))
         os.makedirs(d, exist_ok=True)

@@ -16,7 +16,9 @@ process alive that
 
 Request lines:
   {"id": 1, "queries": [{"title": "q1", "seq": "MKV..."}, ...],
-   "top_k": 16}                  -- search; top_k optional (server default)
+   "top_k": 16, "align": true}   -- search; top_k optional (server
+                                    default); align adds a traceback
+                                    alignment block per hit
   {"id": 2, "query_fasta": ">q1\\nMKV...\\n"}   -- FASTA text alternative
   {"cmd": "ping"}                               -- liveness probe
   {"cmd": "info"}                               -- DB + config description
@@ -65,13 +67,32 @@ def _encode_queries(req):
     return recs
 
 
-def _hits_json(result):
+def _hits_json(result, packed=None, query=None, align=False, scoring=None):
     out = []
     for h in result.hits:
         d = {"rank": h.rank, "score": h.score, "title": h.title}
         if h.evalue is not None:
             d["evalue"] = h.evalue
             d["bits"] = h.bits
+        if align:
+            # host-side traceback per reported hit (O(k*mn), same as the
+            # CLI's --align) with the full-stack exactness probe: the
+            # recovered path's score must equal the device hit score
+            from swimm_tpu.ops.traceback import sw_align
+            a = sw_align(query.codes, packed.seq_codes(h.sorted_idx),
+                         matrix=scoring["matrix"],
+                         gap_open=scoring["gap_open"],
+                         gap_extend=scoring["gap_extend"])
+            if a.score != h.score:
+                raise AssertionError(
+                    f"traceback score {a.score} != device hit score "
+                    f"{h.score} for {h.title!r}")
+            d["alignment"] = {
+                "q_range": [a.q_start + 1, a.q_end],
+                "d_range": [a.d_start + 1, a.d_end],
+                "identity": a.n_identity, "length": a.length,
+                "gaps": a.n_gaps, "q_aln": a.q_aln, "d_aln": a.d_aln,
+            }
         out.append(d)
     return {"query": result.query_title, "hits": out}
 
@@ -130,10 +151,17 @@ class SearchServer:
                 if k <= 0:
                     raise ValueError("top_k must be positive")
                 config = replace(config, top_k=k)
+            align = bool(req.get("align", False))
             results, metrics = self._search(self._packed, queries, config)
             self.n_requests += 1
+            scoring = {"matrix": config.matrix,
+                       "gap_open": config.gap_open,
+                       "gap_extend": config.gap_extend}
             return {**rid,
-                    "results": [_hits_json(r) for r in results],
+                    "results": [
+                        _hits_json(r, packed=self._packed, query=q,
+                                   align=align, scoring=scoring)
+                        for q, r in zip(queries, results)],
                     "metrics": json.loads(metrics.to_json())}
         except ValueError as e:
             return {**rid, "error": str(e)}

@@ -70,6 +70,26 @@ def test_handle_evalue_posture(packed):
     assert "evalue" in h0 and "bits" in h0 and h0["evalue"] >= 0
 
 
+def test_handle_align(packed):
+    srv = SearchServer(packed, _cfg())
+    # a db sequence as the query: rank-1 is the exact self-hit, whose
+    # alignment must be full-length 100% identity
+    codes = packed.seq_codes(0)
+    resp = srv.handle({"queries": [{"title": "self",
+                                    "seq": decode(codes)}],
+                       "align": True, "top_k": 2})
+    hits = resp["results"][0]["hits"]
+    a = hits[0]["alignment"]
+    assert a["identity"] == a["length"] == len(codes)
+    assert a["gaps"] == 0
+    assert a["q_range"] == [1, len(codes)]
+    assert "-" not in a["q_aln"]
+    # align off by default
+    resp2 = srv.handle({"queries": [{"title": "self",
+                                     "seq": decode(codes)}]})
+    assert "alignment" not in resp2["results"][0]["hits"][0]
+
+
 def test_handle_request_errors(packed):
     srv = SearchServer(packed, _cfg())
     assert "error" in srv.handle({"id": 3})                  # no queries
