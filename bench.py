@@ -196,7 +196,7 @@ def main() -> int:
         else:
             out["ladder_skipped"] = "wall budget"
     if on_tpu and not os.environ.get("SWTPU_BENCH_NO_MFU"):
-        if run_elapsed() < 0.70 * BUDGET_S:
+        if run_elapsed() < 0.75 * BUDGET_S:
             try:
                 sys.path.insert(0, str(REPO / "benchmarks"))
                 import roofline
@@ -228,7 +228,7 @@ def main() -> int:
         # 0.92x measured in-round was exactly such an epoch).
         db_mb = sum(ch.n_blocks * ch.L * ch.V
                     for ch in packed.chunks) / 1e6
-        if run_elapsed() < 0.80 * BUDGET_S:
+        if run_elapsed() < 0.85 * BUDGET_S:
             try:
                 scfg = SearchConfig(top_k=16, db_stream=True,
                                     backend="pallas")
