@@ -113,12 +113,25 @@ class SearchServer:
             self._warm(warm_lengths)
 
     def _warm(self, lengths) -> float:
-        """Pre-compile the serving step for these query lengths (one
-        padded-length group per distinct m_pad) with a throwaway search."""
+        """Pre-compile the serving step for these query lengths with
+        throwaway searches.
+
+        Two passes because the fused finalize program is shaped by the
+        NUMBER of padded-length groups in a search, not just their
+        lengths: one single-query search per distinct length (the common
+        one-query request shape, = 1 group), then, if several lengths
+        were given, one combined search (the batch-request shape). A
+        combined-only warm would leave the 1-group program cold and the
+        first single-query request would pay its compile/program load."""
         from swimm_tpu.utils.synth import synth_queries
         t0 = time.perf_counter()
-        qs = synth_queries(len(lengths), list(lengths), seed=7)
-        self._search(self._packed, qs, self._config)
+        uniq = sorted(set(int(l) for l in lengths))
+        for l in uniq:
+            self._search(self._packed, synth_queries(1, [l], seed=7),
+                         self._config)
+        if len(uniq) > 1:
+            self._search(self._packed, synth_queries(len(uniq), uniq, seed=7),
+                         self._config)
         return time.perf_counter() - t0
 
     def info(self) -> dict:
