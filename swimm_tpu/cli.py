@@ -150,6 +150,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated query lengths to pre-compile "
                          "at startup (e.g. 144,500,1000) so the first "
                          "request runs at steady-state latency")
+    sv.add_argument("--listen", default=None, metavar="HOST:PORT",
+                    help="serve the same newline-JSON protocol over TCP "
+                         "instead of stdin/stdout (PORT 0 picks a free "
+                         "port; the bound address is logged to stderr)")
 
     info = sub.add_parser("info", help="describe a packed DB")
     info.add_argument("-d", "--db", required=True)
@@ -233,7 +237,7 @@ def _run(args) -> int:
     if args.command == "serve":
         from swimm_tpu.db import load_db
         from swimm_tpu.models.engine import SearchConfig
-        from swimm_tpu.server import serve_stdio
+        from swimm_tpu.server import serve_socket, serve_stdio
         warm = ()
         if args.warm:
             try:
@@ -249,6 +253,14 @@ def _run(args) -> int:
                               top_k=args.top_k, backend=args.backend,
                               precision=args.precision,
                               db_stream=args.stream, evalue=args.evalue)
+        if args.listen is not None:
+            host, sep, port = args.listen.rpartition(":")
+            if not sep or not port.isdigit():
+                raise ValueError(
+                    f"--listen must be HOST:PORT (got {args.listen!r})")
+            return serve_socket(load_db(args.db), config,
+                                host or "127.0.0.1", int(port),
+                                warm_lengths=warm)
         return serve_stdio(load_db(args.db), config, warm_lengths=warm)
 
     if args.command == "info":

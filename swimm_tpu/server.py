@@ -9,10 +9,11 @@ process alive that
 - loads the packed DB and uploads the ragged tile stream to HBM ONCE,
 - optionally pre-compiles the serving kernels for a set of padded query
   lengths (``--warm``) so first-request latency is steady-state,
-- then answers newline-delimited JSON requests on stdin with one JSON
-  response line on stdout each (stderr carries logs) — the standard
-  subprocess-service protocol: trivially driven from any language, a
-  socket wrapper, or a shell heredoc; no extra dependencies.
+- then answers newline-delimited JSON requests with one JSON response
+  line each — on stdin/stdout by default (the standard subprocess-
+  service protocol: trivially driven from any language or a shell
+  heredoc), or over TCP with ``--listen HOST:PORT`` (same protocol per
+  connection, any number of clients; stderr carries logs either way).
 
 Request lines:
   {"id": 1, "queries": [{"title": "q1", "seq": "MKV..."}, ...],
@@ -39,7 +40,9 @@ deployment uses amortize through the persistent compilation cache).
 from __future__ import annotations
 
 import json
+import socketserver
 import sys
+import threading
 import time
 
 
@@ -178,6 +181,84 @@ class SearchServer:
                     "metrics": json.loads(metrics.to_json())}
         except ValueError as e:
             return {**rid, "error": str(e)}
+
+
+def make_socket_server(packed, config):
+    """Build (but do not start) a TCP front end over one SearchServer.
+
+    Same newline-JSON protocol as serve_stdio, one response line per
+    request line, any number of concurrent connections. Searches are
+    serialized through a lock: the engine's fused dispatch reuses
+    donated device buffers and the chip runs one program at a time
+    anyway, so interleaving requests buys nothing and would interleave
+    their HBM working sets. `{"cmd": "shutdown"}` from any connection
+    stops the whole server (operator command, matching stdio mode).
+
+    Returns (ServerClass, HandlerClass, search_server); callers bind
+    and serve (`serve_socket` for the CLI, in-process threads for
+    tests)."""
+    srv = SearchServer(packed, config)
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def _send(self, obj):
+            self.wfile.write((json.dumps(obj) + "\n").encode())
+            self.wfile.flush()
+
+        def handle(self):
+            for raw in self.rfile:
+                line = raw.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    if not isinstance(req, dict):
+                        raise ValueError("request must be a JSON object")
+                except ValueError as e:
+                    self._send({"error": f"bad request line: {e}"})
+                    continue
+                if req.get("cmd") == "shutdown":
+                    self._send({"ok": True, "served": srv.n_requests,
+                                **({"id": req["id"]} if "id" in req else {})})
+                    # handler threads are distinct from the serve_forever
+                    # thread, so calling shutdown() here cannot deadlock
+                    self.server.shutdown()
+                    return
+                with lock:
+                    resp = srv.handle(req)
+                self._send(resp)
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    return Server, Handler, srv
+
+
+def serve_socket(packed, config, host, port, warm_lengths=(),
+                 stderr=None) -> int:
+    """CLI entry: bind host:port, warm, then serve until shutdown.
+
+    The socket is bound BEFORE the (potentially minutes-long on a cold
+    cache) warm pass so supervisors see the port up immediately; early
+    connections simply wait until serving starts."""
+    stderr = stderr if stderr is not None else sys.stderr
+
+    def log(msg):
+        print(f"swtpu serve: {msg}", file=stderr, flush=True)
+
+    Server, Handler, srv = make_socket_server(packed, config)
+    with Server((host, port), Handler) as tcp:
+        bound = tcp.server_address
+        log(f"bound {bound[0]}:{bound[1]}")
+        if warm_lengths:
+            dt = srv._warm(warm_lengths)
+            log(f"warmed {len(warm_lengths)} query lengths in {dt:.1f}s")
+        log(f"ready: {packed.n_seqs} sequences resident; serving "
+            f"{bound[0]}:{bound[1]}")
+        tcp.serve_forever(poll_interval=0.2)
+        log(f"shutdown after {srv.n_requests} requests")
+    return 0
 
 
 def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,

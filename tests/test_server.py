@@ -177,3 +177,66 @@ def test_cli_serve_subprocess(tmp_path):
     assert resp[1]["id"] == 5 and len(resp[1]["results"][0]["hits"]) == 3
     assert resp[2]["ok"] is True
     assert "ready" in p.stderr
+
+
+def test_socket_server_roundtrip(packed):
+    """TCP front end: same protocol, results equal the stdio handler's."""
+    import socket
+    import threading
+
+    from swimm_tpu.server import make_socket_server
+
+    Server, Handler, srv = make_socket_server(packed, _cfg())
+    tcp = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=tcp.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    try:
+        port = tcp.server_address[1]
+        q = synth_queries(1, [38], seed=16)[0]
+        req = {"id": 7, "queries": [{"title": q.title,
+                                     "seq": decode(q.codes)}]}
+
+        def drive(lines):
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=30) as s:
+                f = s.makefile("rw", encoding="utf-8")
+                out = []
+                for line in lines:
+                    f.write(line + "\n")
+                    f.flush()
+                    out.append(json.loads(f.readline()))
+                return out
+
+        # connection 1: ping, malformed line, search
+        r = drive([json.dumps({"cmd": "ping"}), "{nope",
+                   json.dumps(req)])
+        assert r[0] == {"ok": True}
+        assert "bad request line" in r[1]["error"]
+        assert r[2]["id"] == 7
+        direct = SearchServer(packed, _cfg()).handle(req)
+        assert r[2]["results"] == direct["results"]
+        # connection 2: the same resident server answers a second client
+        r2 = drive([json.dumps({"cmd": "info"})])
+        assert r2[0]["info"]["n_requests"] == 1
+        # shutdown from a client stops serve_forever
+        r3 = drive([json.dumps({"cmd": "shutdown", "id": 9})])
+        assert r3[0] == {"ok": True, "served": 1, "id": 9}
+        t.join(timeout=10)
+        assert not t.is_alive()
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+
+
+def test_cli_listen_flag_validation(tmp_path):
+    from swimm_tpu.cli import main
+    recs = synth_db(30, seed=23)
+    dbfa = tmp_path / "db.fasta"
+    write_fasta(dbfa, recs)
+    assert main(["preprocess", "-i", str(dbfa),
+                 "-o", str(tmp_path / "p"), "--lanes", "8"]) == 0
+    for bad in ["8080x", "localhost", "host:port"]:
+        rc = main(["serve", "-d", str(tmp_path / "p"),
+                   "--backend", "xla", "--listen", bad])
+        assert rc == 2
