@@ -17,9 +17,12 @@ process alive that
 
 Request lines:
   {"id": 1, "queries": [{"title": "q1", "seq": "MKV..."}, ...],
-   "top_k": 16, "align": true}   -- search; top_k optional (server
+   "top_k": 16, "align": true,
+   "format": "m8"}               -- search; top_k optional (server
                                     default); align adds a traceback
-                                    alignment block per hit
+                                    alignment block per hit; format
+                                    "m8" adds BLAST-tabular rows
+                                    (response key "m8", one row per hit)
   {"id": 2, "query_fasta": ">q1\\nMKV...\\n"}   -- FASTA text alternative
   {"cmd": "ping"}                               -- liveness probe
   {"cmd": "info"}                               -- DB + config description
@@ -70,26 +73,34 @@ def _encode_queries(req):
     return recs
 
 
-def _hits_json(result, packed=None, query=None, align=False, scoring=None):
-    out = []
+def _alignments(result, packed, query, scoring):
+    """Host-side traceback per reported hit (O(k*mn), same as the CLI's
+    --align) with the full-stack exactness probe: the recovered path's
+    score must equal the device hit score."""
+    from swimm_tpu.ops.traceback import sw_align
+    aligns = []
     for h in result.hits:
+        a = sw_align(query.codes, packed.seq_codes(h.sorted_idx),
+                     matrix=scoring["matrix"],
+                     gap_open=scoring["gap_open"],
+                     gap_extend=scoring["gap_extend"])
+        if a.score != h.score:
+            raise AssertionError(
+                f"traceback score {a.score} != device hit score "
+                f"{h.score} for {h.title!r}")
+        aligns.append(a)
+    return aligns
+
+
+def _hits_json(result, aligns=None):
+    out = []
+    for i, h in enumerate(result.hits):
         d = {"rank": h.rank, "score": h.score, "title": h.title}
         if h.evalue is not None:
             d["evalue"] = h.evalue
             d["bits"] = h.bits
-        if align:
-            # host-side traceback per reported hit (O(k*mn), same as the
-            # CLI's --align) with the full-stack exactness probe: the
-            # recovered path's score must equal the device hit score
-            from swimm_tpu.ops.traceback import sw_align
-            a = sw_align(query.codes, packed.seq_codes(h.sorted_idx),
-                         matrix=scoring["matrix"],
-                         gap_open=scoring["gap_open"],
-                         gap_extend=scoring["gap_extend"])
-            if a.score != h.score:
-                raise AssertionError(
-                    f"traceback score {a.score} != device hit score "
-                    f"{h.score} for {h.title!r}")
+        if aligns is not None:
+            a = aligns[i]
             d["alignment"] = {
                 "q_range": [a.q_start + 1, a.q_end],
                 "d_range": [a.d_start + 1, a.d_end],
@@ -168,17 +179,29 @@ class SearchServer:
                     raise ValueError("top_k must be positive")
                 config = replace(config, top_k=k)
             align = bool(req.get("align", False))
+            fmt = req.get("format", "json")
+            if fmt not in ("json", "m8"):
+                raise ValueError(f"format must be 'json' or 'm8' "
+                                 f"(got {fmt!r})")
             results, metrics = self._search(self._packed, queries, config)
             self.n_requests += 1
             scoring = {"matrix": config.matrix,
                        "gap_open": config.gap_open,
                        "gap_extend": config.gap_extend}
-            return {**rid,
+            need_align = align or fmt == "m8"
+            aligns = [_alignments(r, self._packed, q, scoring)
+                      if need_align else None
+                      for q, r in zip(queries, results)]
+            resp = {**rid,
                     "results": [
-                        _hits_json(r, packed=self._packed, query=q,
-                                   align=align, scoring=scoring)
-                        for q, r in zip(queries, results)],
+                        _hits_json(r, aligns=a if align else None)
+                        for r, a in zip(results, aligns)],
                     "metrics": json.loads(metrics.to_json())}
+            if fmt == "m8":
+                from swimm_tpu.formats import m8_rows
+                resp["m8"] = [row for r, a in zip(results, aligns)
+                              for row in m8_rows(r, a)]
+            return resp
         except ValueError as e:
             return {**rid, "error": str(e)}
 

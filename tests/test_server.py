@@ -240,3 +240,33 @@ def test_cli_listen_flag_validation(tmp_path):
         rc = main(["serve", "-d", str(tmp_path / "p"),
                    "--backend", "xla", "--listen", bad])
         assert rc == 2
+
+
+def test_handle_m8_format(packed):
+    srv = SearchServer(packed, _cfg())
+    codes = packed.seq_codes(0)
+    resp = srv.handle({"queries": [{"title": "self q", "seq": decode(codes)}],
+                       "format": "m8", "top_k": 3})
+    rows = resp["m8"]
+    assert len(rows) == 3
+    # rank-1 self-hit: 100% identity over the full length, E/bits absent
+    cols = rows[0].split("\t")
+    assert cols[0] == "self" and cols[2] == "100.00"
+    assert int(cols[3]) == len(codes) and cols[4] == "0" and cols[5] == "0"
+    assert cols[10] == "*" and cols[11] == "*"
+    # m8 alone must not attach JSON alignment blocks
+    assert "alignment" not in resp["results"][0]["hits"][0]
+    # and the rows match the CLI formatter exactly
+    from swimm_tpu.formats import m8_rows
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.fasta import FastaRecord
+    from swimm_tpu.server import _alignments
+    direct, _ = search(packed, [FastaRecord("self q", codes)],
+                       SearchConfig(backend="xla", top_k=3))
+    scoring = {"matrix": "BLOSUM62", "gap_open": 10, "gap_extend": 2}
+    want = m8_rows(direct[0], _alignments(direct[0], packed,
+                                          FastaRecord("self q", codes),
+                                          scoring))
+    assert rows == want
+    assert "error" in srv.handle({"queries": [{"title": "x", "seq": "MKV"}],
+                                  "format": "tsv"})
