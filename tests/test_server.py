@@ -186,7 +186,7 @@ def test_socket_server_roundtrip(packed):
 
     from swimm_tpu.server import make_socket_server
 
-    Server, Handler, srv = make_socket_server(packed, _cfg())
+    Server, Handler, srv, batcher = make_socket_server(packed, _cfg())
     tcp = Server(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=tcp.serve_forever,
                          kwargs={"poll_interval": 0.05}, daemon=True)
@@ -270,3 +270,111 @@ def test_handle_m8_format(packed):
     assert rows == want
     assert "error" in srv.handle({"queries": [{"title": "x", "seq": "MKV"}],
                                   "format": "tsv"})
+
+
+def test_batcher_coalesces_and_truncates(packed):
+    """3 concurrent requests (mixed top_k) -> ONE search dispatch; each
+    response equals a direct per-request search (prefix-stability of
+    the ranked list in k)."""
+    import threading
+
+    from swimm_tpu.server import Batcher
+
+    srv = SearchServer(packed, _cfg())
+    b = Batcher(srv, autostart=False)          # manual stepping
+    qs = synth_queries(3, [30, 44, 44], seed=17)
+    reqs = [
+        {"id": 0, "queries": [{"title": qs[0].title,
+                               "seq": decode(qs[0].codes)}], "top_k": 2},
+        {"id": 1, "queries": [{"title": qs[1].title,
+                               "seq": decode(qs[1].codes)}]},      # k=4
+        {"id": 2, "queries": [{"title": qs[2].title,
+                               "seq": decode(qs[2].codes)},
+                              {"title": "x2", "seq": decode(qs[0].codes)}],
+         "top_k": 3},
+    ]
+    out = [None] * 3
+    threads = [threading.Thread(target=lambda i=i: out.__setitem__(
+        i, b.submit(reqs[i]))) for i in range(3)]
+    for t in threads:
+        t.start()
+    # wait until all three are queued, then dispatch once
+    for _ in range(500):
+        with b._cv:
+            if len(b._pending) == 3:
+                break
+        import time
+        time.sleep(0.01)
+    b._drain_once()
+    for t in threads:
+        t.join(timeout=30)
+    assert b.n_dispatches == 1
+    assert srv.n_requests == 3
+    for i, req in enumerate(reqs):
+        assert out[i]["id"] == i and "error" not in out[i]
+        assert out[i]["metrics"]["batched_requests"] == 3
+        assert out[i]["metrics"]["batched_queries"] == 4
+        direct = SearchServer(packed, _cfg()).handle(req)
+        assert out[i]["results"] == direct["results"], f"request {i}"
+
+
+def test_batcher_error_and_oversize(packed):
+    from swimm_tpu.server import Batcher
+
+    srv = SearchServer(packed, _cfg())
+    b = Batcher(srv, max_batch_queries=1, autostart=False)
+    # parse errors answer immediately, never queue
+    assert "error" in b.submit({"id": 9})
+    with b._cv:
+        assert not b._pending
+    # an oversized single request still serves (alone)
+    import threading
+    qs = synth_queries(2, [25, 33], seed=18)
+    req = {"queries": [{"title": q.title, "seq": decode(q.codes)}
+                       for q in qs]}
+    out = {}
+    t = threading.Thread(target=lambda: out.setdefault(
+        "r", b.submit(req)))
+    t.start()
+    for _ in range(500):
+        with b._cv:
+            if b._pending:
+                break
+        import time
+        time.sleep(0.01)
+    b._drain_once()
+    t.join(timeout=30)
+    assert len(out["r"]["results"]) == 2
+    assert b.n_dispatches == 1
+
+
+def test_batcher_autostart_socket_path(packed):
+    """Through the real TCP server (autostarted dispatcher): serial
+    requests still serve correctly batch-of-1."""
+    import socket
+    import threading
+
+    from swimm_tpu.server import make_socket_server
+
+    Server, Handler, srv, batcher = make_socket_server(packed, _cfg())
+    tcp = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=tcp.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    try:
+        port = tcp.server_address[1]
+        q = synth_queries(1, [28], seed=19)[0]
+        with socket.create_connection(("127.0.0.1", port), timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for rep in range(2):
+                f.write(json.dumps({"id": rep, "queries": [
+                    {"title": q.title, "seq": decode(q.codes)}]}) + "\n")
+                f.flush()
+                r = json.loads(f.readline())
+                assert r["id"] == rep and "error" not in r
+                assert r["metrics"]["batched_requests"] >= 1
+        assert srv.n_requests == 2
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+        batcher.stop()
