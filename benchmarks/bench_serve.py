@@ -1,28 +1,43 @@
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-"""Persistent-server request latency (swimm_tpu/server.py, `swtpu serve`).
+"""Persistent-server request latency + batched concurrency
+(swimm_tpu/server.py, `swtpu serve --listen`).
 
 The measured argument FOR a resident server on this stack: a fresh
 process pays ~5 min of device-acquisition stall plus ~5 min of per-shape
 program loads (BASELINE.md round 4) before its first score, while a
 resident server pays that once and then serves each request at pure
-search latency. This benchmark starts ONE `swtpu serve` subprocess on
-the Swiss-Prot-scale bench DB, pre-warms the request query lengths via
---warm, then times N single-batch requests end-to-end from the client
-side (JSON in -> JSON out, includes protocol + result marshalling).
+search latency (measured r4: median 0.27 s/request at 570k-seq scale,
+startup 558 s).
+
+Two phases through ONE `swtpu serve --listen` subprocess on the
+Swiss-Prot-scale bench DB, pre-warmed via --warm:
+
+  serial      N single-query requests back to back, client-side timing
+              (JSON in -> JSON out, includes protocol + marshalling)
+  concurrent  N single-query requests fired from N connections at once;
+              the server's adaptive micro-batcher coalesces whatever
+              queues behind the running search into one multi-query
+              dispatch, so total wall should approach ONE batched
+              search, not N serial ones
 
 Prints one JSON line:
-  {"startup_s": ..., "request_s": [...], "median_request_s": ...,
-   "request_gcups": ...}
+  {"startup_s": ..., "serial_request_s": [...], "median_request_s": ...,
+   "request_gcups": ..., "concurrent_wall_s": ..., "concurrent_n": ...,
+   "concurrent_dispatches": ..., "concurrent_gcups": ...}
 
 Usage: python benchmarks/bench_serve.py [--n-requests 5] [--n-seqs N]
+       [--concurrent 8]
 """
 
 import argparse
 import json
 import pathlib
+import re
+import socket
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -30,9 +45,18 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def _request(port, req, timeout=600):
+    with socket.create_connection(("127.0.0.1", port), timeout=timeout) as s:
+        f = s.makefile("rw", encoding="utf-8")
+        f.write(json.dumps(req) + "\n")
+        f.flush()
+        return json.loads(f.readline())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-requests", type=int, default=5)
+    ap.add_argument("--concurrent", type=int, default=8)
     ap.add_argument("--n-seqs", type=int, default=570_000)
     ap.add_argument("--top-k", type=int, default=16)
     args = ap.parse_args()
@@ -48,9 +72,9 @@ def main() -> int:
 
     # one query per request, same length population as the headline bench
     rng = np.random.default_rng(3)
-    qlens = [int(x) for x in rng.integers(100, 501,
-                                          size=args.n_requests)]
-    queries = synth_queries(args.n_requests, qlens, seed=5)
+    n_q = args.n_requests + args.concurrent
+    qlens = [int(x) for x in rng.integers(100, 501, size=n_q)]
+    queries = synth_queries(n_q, qlens, seed=5)
 
     env = dict(
         __import__("os").environ,
@@ -59,34 +83,68 @@ def main() -> int:
     proc = subprocess.Popen(
         [sys.executable, "-m", "swimm_tpu.cli", "serve",
          "-d", str(dbdir), "-r", str(args.top_k),
+         "--listen", "127.0.0.1:0",
          "--warm", ",".join(str(l) for l in qlens)],
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL, text=True, bufsize=1,
-        cwd=str(REPO), env=env)
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        text=True, bufsize=1, cwd=str(REPO), env=env)
     try:
-        # first response proves liveness AND that warm compiles finished
-        proc.stdin.write(json.dumps({"cmd": "ping"}) + "\n")
-        proc.stdin.flush()
-        assert json.loads(proc.stdout.readline())["ok"]
+        port = None
+        for line in proc.stderr:
+            m = re.search(r"bound 127\.0\.0\.1:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+            if "serving" in line:
+                break
+        if port is None:
+            print(json.dumps({"error": "server exited before binding"}))
+            return 1
+        # drain stderr in the background so the server never blocks on it
+        threading.Thread(target=lambda: [None for _ in proc.stderr],
+                         daemon=True).start()
+        assert _request(port, {"cmd": "ping"})["ok"]
         startup_s = time.perf_counter() - t0
 
-        lat = []
-        cells = []
-        for i, q in enumerate(queries):
-            req = {"id": i, "queries": [
+        def req_for(i):
+            q = queries[i]
+            return {"id": i, "queries": [
                 {"title": q.title, "seq": decode(q.codes)}]}
+
+        lat, cells = [], []
+        for i in range(args.n_requests):
             t1 = time.perf_counter()
-            proc.stdin.write(json.dumps(req) + "\n")
-            proc.stdin.flush()
-            resp = json.loads(proc.stdout.readline())
+            resp = _request(port, req_for(i))
             lat.append(time.perf_counter() - t1)
             if "error" in resp:
                 print(json.dumps({"error": resp["error"], "request": i}))
                 return 1
             cells.append(resp["metrics"]["cells"])
 
-        proc.stdin.write(json.dumps({"cmd": "shutdown"}) + "\n")
-        proc.stdin.flush()
+        # concurrent phase: N clients at once; the first request in the
+        # door dispatches alone, the rest coalesce behind it
+        conc = [None] * args.concurrent
+        ts = [threading.Thread(
+            target=lambda j=j: conc.__setitem__(
+                j, _request(port, req_for(args.n_requests + j))))
+            for j in range(args.concurrent)]
+        t2 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        conc_wall = time.perf_counter() - t2
+        for j, resp in enumerate(conc):
+            if resp is None or "error" in (resp or {}):
+                print(json.dumps({"error": f"concurrent request {j}: "
+                                  f"{(resp or {}).get('error', 'no reply')}"}))
+                return 1
+        # batch members share one metrics dict verbatim; distinct
+        # dispatches differ (at least in their timings), so deduping the
+        # serialized metrics counts dispatches and sums cells once each
+        uniq = {json.dumps(r["metrics"], sort_keys=True) for r in conc}
+        n_dispatch = len(uniq)
+        conc_cells = sum(json.loads(u)["cells"] for u in uniq)
+
+        _request(port, {"cmd": "shutdown"}, timeout=60)
         proc.wait(timeout=60)
     finally:
         if proc.poll() is None:
@@ -96,12 +154,16 @@ def main() -> int:
     med_cells = sorted(cells)[len(cells) // 2]
     print(json.dumps({
         "metric": ("request latency through a resident swtpu serve "
-                   f"process, 1 query/request x {args.n_requests} "
-                   f"requests vs {args.n_seqs}-seq DB"),
+                   f"--listen process, 1 query/request vs "
+                   f"{args.n_seqs}-seq DB"),
         "startup_s": round(startup_s, 1),
-        "request_s": [round(x, 2) for x in lat],
+        "serial_request_s": [round(x, 2) for x in lat],
         "median_request_s": round(med, 2),
         "request_gcups": round(med_cells / med / 1e9, 1),
+        "concurrent_n": args.concurrent,
+        "concurrent_wall_s": round(conc_wall, 2),
+        "concurrent_dispatches": n_dispatch,
+        "concurrent_gcups": round(conc_cells / conc_wall / 1e9, 1),
     }))
     return 0
 
