@@ -378,3 +378,18 @@ def test_batcher_autostart_socket_path(packed):
         tcp.shutdown()
         tcp.server_close()
         batcher.stop()
+
+
+def test_server_streaming_posture_matches_resident(packed):
+    """A serve process started with --stream must rank identically to the
+    resident posture (the server is posture-transparent)."""
+    q = synth_queries(2, [26, 41], seed=20)
+    req = {"queries": [{"title": x.title, "seq": decode(x.codes)}
+                       for x in q]}
+    res = SearchServer(packed, _cfg()).handle(req)
+    stream = SearchServer(
+        packed, _cfg(db_stream=True, window_tiles=64)).handle(req)
+    assert [(h["score"], h["title"]) for r in res["results"]
+            for h in r["hits"]] == \
+           [(h["score"], h["title"]) for r in stream["results"]
+            for h in r["hits"]]
