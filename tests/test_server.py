@@ -393,3 +393,39 @@ def test_server_streaming_posture_matches_resident(packed):
             for h in r["hits"]] == \
            [(h["score"], h["title"]) for r in stream["results"]
             for h in r["hits"]]
+
+
+def test_batcher_preserves_evalues(packed):
+    """Coalescing requests must not change E-values/bits: the Gumbel fit
+    is per query, so a batched dispatch equals a direct search."""
+    import threading
+
+    from swimm_tpu.server import Batcher
+
+    srv = SearchServer(packed, _cfg(evalue=True))
+    b = Batcher(srv, autostart=False)
+    qs = synth_queries(2, [31, 47], seed=24)
+    reqs = [{"id": i, "queries": [{"title": q.title,
+                                   "seq": decode(q.codes)}],
+             "format": "m8"} for i, q in enumerate(qs)]
+    out = [None, None]
+    ts = [threading.Thread(target=lambda i=i: out.__setitem__(
+        i, b.submit(reqs[i]))) for i in range(2)]
+    for t in ts:
+        t.start()
+    for _ in range(500):
+        with b._cv:
+            if len(b._pending) == 2:
+                break
+        import time
+        time.sleep(0.01)
+    b._drain_once()
+    for t in ts:
+        t.join(timeout=30)
+    assert b.n_dispatches == 1
+    for i, req in enumerate(reqs):
+        direct = SearchServer(packed, _cfg(evalue=True)).handle(req)
+        assert out[i]["results"] == direct["results"], f"request {i}"
+        assert out[i]["m8"] == direct["m8"]
+        h0 = out[i]["results"][0]["hits"][0]
+        assert "evalue" in h0 and "bits" in h0
