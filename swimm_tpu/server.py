@@ -123,6 +123,10 @@ class SearchServer:
         self._config = config
         self._search = search
         self.n_requests = 0
+        self.n_queries = 0
+        self.total_cells = 0         # true DP cells served (excl. warm)
+        self.search_seconds = 0.0    # device search time (excl. warm)
+        self._t0 = time.perf_counter()
         if warm_lengths:
             self._warm(warm_lengths)
 
@@ -159,7 +163,17 @@ class SearchServer:
             "db_stream": c.db_stream, "evalue": c.evalue,
             "default_top_k": c.top_k,
             "n_requests": self.n_requests,
+            "n_queries": self.n_queries,
+            "total_cells": self.total_cells,
+            "search_seconds": round(self.search_seconds, 3),
+            "uptime_s": round(time.perf_counter() - self._t0, 1),
         }
+
+    def _account(self, n_requests, n_queries, metrics):
+        self.n_requests += n_requests
+        self.n_queries += n_queries
+        self.total_cells += metrics.cells
+        self.search_seconds += metrics.seconds
 
     def _parse(self, req: dict):
         """Validate a search request -> (queries, opts). Raises ValueError."""
@@ -223,7 +237,7 @@ class SearchServer:
             if opts["top_k"] != config.top_k:
                 config = replace(config, top_k=opts["top_k"])
             results, metrics = self._search(self._packed, queries, config)
-            self.n_requests += 1
+            self._account(1, len(queries), metrics)
             return self._postprocess(queries, results, metrics, opts, rid)
         except ValueError as e:
             return {**rid, "error": str(e)}
@@ -319,7 +333,7 @@ class Batcher:
         try:
             results, metrics = self._srv._search(self._srv._packed,
                                                  all_q, config)
-            self._srv.n_requests += len(batch)
+            self._srv._account(len(batch), len(all_q), metrics)
             self.n_dispatches += 1
             met = json.loads(metrics.to_json())
             met["batched_requests"] = len(batch)
@@ -408,6 +422,18 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
 
     Server, Handler, srv, batcher = make_socket_server(packed, config)
     with Server((host, port), Handler) as tcp:
+        if threading.current_thread() is threading.main_thread():
+            import signal
+
+            def _graceful(signum, frame):
+                log(f"signal {signum}: draining and shutting down")
+                # shutdown() blocks until serve_forever (this thread,
+                # currently interrupted by the signal) exits its loop —
+                # call it from a helper thread to avoid self-deadlock
+                threading.Thread(target=tcp.shutdown, daemon=True).start()
+
+            signal.signal(signal.SIGTERM, _graceful)
+            signal.signal(signal.SIGINT, _graceful)
         bound = tcp.server_address
         log(f"bound {bound[0]}:{bound[1]}")
         if warm_lengths:

@@ -429,3 +429,44 @@ def test_batcher_preserves_evalues(packed):
         assert out[i]["m8"] == direct["m8"]
         h0 = out[i]["results"][0]["hits"][0]
         assert "evalue" in h0 and "bits" in h0
+
+
+def test_info_accounting_and_sigterm(packed, tmp_path):
+    """info reports serving totals; SIGTERM drains a --listen server."""
+    srv = SearchServer(packed, _cfg())
+    q = synth_queries(1, [36], seed=25)[0]
+    srv.handle({"queries": [{"title": q.title, "seq": decode(q.codes)}]})
+    info = srv.handle({"cmd": "info"})["info"]
+    assert info["n_requests"] == 1 and info["n_queries"] == 1
+    assert info["total_cells"] > 0 and info["uptime_s"] >= 0
+    assert info["search_seconds"] > 0
+
+    # SIGTERM: subprocess CLI server exits 0 after the signal
+    import os
+    import signal
+    import subprocess
+    import sys
+    recs = synth_db(40, seed=26)
+    dbfa = tmp_path / "db.fasta"
+    write_fasta(dbfa, recs)
+    from swimm_tpu.cli import main
+    assert main(["preprocess", "-i", str(dbfa),
+                 "-o", str(tmp_path / "p"), "--lanes", "8"]) == 0
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "swimm_tpu.cli", "serve",
+         "-d", str(tmp_path / "p"), "--backend", "xla",
+         "--listen", "127.0.0.1:0"],
+        stderr=subprocess.PIPE, text=True, bufsize=1, env=env,
+        cwd="/root/repo")
+    try:
+        for line in p.stderr:
+            if "serving" in line:
+                break
+        p.send_signal(signal.SIGTERM)
+        assert p.wait(timeout=60) == 0
+        rest = p.stderr.read()
+        assert "shutting down" in rest and "shutdown after" in rest
+    finally:
+        if p.poll() is None:
+            p.kill()
