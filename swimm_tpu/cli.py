@@ -155,6 +155,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "instead of stdin/stdout (PORT 0 picks a free "
                          "port; the bound address is logged to stderr)")
 
+    qy = sub.add_parser(
+        "query",
+        help="send a query FASTA to a running `swtpu serve --listen` "
+             "server and print the results (client-side only: no JAX, "
+             "no chip — runs anywhere with a socket)")
+    qy.add_argument("-q", "--query", required=True,
+                    help="query FASTA (gzip transparently supported)")
+    qy.add_argument("--server", required=True, metavar="HOST:PORT")
+    qy.add_argument("-r", "--top-k", type=int, default=None,
+                    help="per-request top-k override (server default "
+                         "otherwise)")
+    qy.add_argument("--align", action="store_true",
+                    help="request traceback alignment blocks per hit")
+    qy.add_argument("--format", choices=["table", "json", "m8"],
+                    default="table")
+    qy.add_argument("--timeout", type=float, default=600.0,
+                    help="socket timeout in seconds")
+
     info = sub.add_parser("info", help="describe a packed DB")
     info.add_argument("-d", "--db", required=True)
 
@@ -223,6 +241,12 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    if args.command == "query":
+        # pure client: no compile cache, no jax, no device — keep this
+        # branch ABOVE anything that touches the accelerator stack
+        from swimm_tpu.client import run_query
+        return run_query(args)
+
     _enable_compile_cache()
 
     if args.command == "preprocess":
