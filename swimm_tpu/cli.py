@@ -154,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve the same newline-JSON protocol over TCP "
                          "instead of stdin/stdout (PORT 0 picks a free "
                          "port; the bound address is logged to stderr)")
+    sv.add_argument("--max-batch-queries", type=int, default=64,
+                    help="TCP mode: cap on queries coalesced into one "
+                         "batched dispatch (queued requests past the cap "
+                         "wait for the next dispatch)")
 
     qy = sub.add_parser(
         "query",
@@ -282,9 +286,12 @@ def _run(args) -> int:
             if not sep or not port.isdigit():
                 raise ValueError(
                     f"--listen must be HOST:PORT (got {args.listen!r})")
+            if args.max_batch_queries <= 0:
+                raise ValueError("--max-batch-queries must be positive")
             return serve_socket(load_db(args.db), config,
                                 host or "127.0.0.1", int(port),
-                                warm_lengths=warm)
+                                warm_lengths=warm,
+                                max_batch_queries=args.max_batch_queries)
         return serve_stdio(load_db(args.db), config, warm_lengths=warm)
 
     if args.command == "info":

@@ -409,7 +409,7 @@ def make_socket_server(packed, config, max_batch_queries=64):
 
 
 def serve_socket(packed, config, host, port, warm_lengths=(),
-                 stderr=None) -> int:
+                 max_batch_queries=64, stderr=None) -> int:
     """CLI entry: bind host:port, warm, then serve until shutdown.
 
     The socket is bound BEFORE the (potentially minutes-long on a cold
@@ -420,7 +420,8 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
     def log(msg):
         print(f"swtpu serve: {msg}", file=stderr, flush=True)
 
-    Server, Handler, srv, batcher = make_socket_server(packed, config)
+    Server, Handler, srv, batcher = make_socket_server(
+        packed, config, max_batch_queries=max_batch_queries)
     with Server((host, port), Handler) as tcp:
         if threading.current_thread() is threading.main_thread():
             import signal

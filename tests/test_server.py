@@ -470,3 +470,66 @@ def test_info_accounting_and_sigterm(packed, tmp_path):
     finally:
         if p.poll() is None:
             p.kill()
+
+
+def test_socket_server_concurrent_stress(packed):
+    """16 clients x 3 requests each, small batch cap: every response
+    routes to its own request (ids and scores match a direct search),
+    across many coalesced dispatches."""
+    import socket
+    import threading
+
+    from swimm_tpu.server import make_socket_server
+
+    Server, Handler, srv, batcher = make_socket_server(
+        packed, _cfg(), max_batch_queries=4)
+    tcp = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=tcp.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    try:
+        port = tcp.server_address[1]
+        n_clients, n_reqs = 16, 3
+        qs = synth_queries(n_clients, [20 + 3 * i
+                                       for i in range(n_clients)], seed=27)
+        # expected scores per client, from a direct search
+        direct, _ = search(packed, qs, _cfg())
+        want = [[(h.rank, h.score, h.title) for h in r.hits]
+                for r in direct]
+        errors = []
+
+        def client(ci):
+            try:
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=120) as s:
+                    f = s.makefile("rw", encoding="utf-8")
+                    for ri in range(n_reqs):
+                        rid = ci * 100 + ri
+                        f.write(json.dumps(
+                            {"id": rid, "queries": [
+                                {"title": qs[ci].title,
+                                 "seq": decode(qs[ci].codes)}]}) + "\n")
+                        f.flush()
+                        r = json.loads(f.readline())
+                        assert r["id"] == rid, r
+                        got = [(h["rank"], h["score"], h["title"])
+                               for h in r["results"][0]["hits"]]
+                        assert got == want[ci], f"client {ci} req {ri}"
+            except Exception as e:   # noqa: BLE001 — collected for the
+                errors.append(f"client {ci}: {e!r}")   # main assert
+
+        threads = [threading.Thread(target=client, args=(ci,))
+                   for ci in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, errors
+        assert srv.n_requests == n_clients * n_reqs
+        # coalescing actually happened AND the cap held
+        assert batcher.n_dispatches < n_clients * n_reqs
+        assert batcher.n_dispatches >= (n_clients * n_reqs) // 4
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+        batcher.stop()
