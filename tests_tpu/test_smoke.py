@@ -153,3 +153,47 @@ def test_smoke_ragged_kernel_parity(world):
         q.codes, [recs[int(packed.orig_index[i])].codes for i in sample],
         get_matrix("BLOSUM62"), 10, 2)
     assert np.array_equal(got[sample], exp)
+
+
+def test_smoke_serve_surface(world):
+    """r4 serving surface on hardware: the resident SearchServer answers
+    a JSON request (incl. m8 + align) with hits equal to a direct search,
+    and the batcher coalesces concurrent requests to the same answers."""
+    import threading
+
+    from swimm_tpu.alphabet import decode
+    from swimm_tpu.models.engine import SearchConfig, search
+    from swimm_tpu.server import Batcher, SearchServer
+
+    packed, recs, queries = world
+    cfg = SearchConfig(top_k=8)
+    srv = SearchServer(packed, cfg)
+    req = {"id": 1, "queries": [{"title": queries[0].title,
+                                 "seq": decode(queries[0].codes)}],
+           "format": "m8", "align": True}
+    resp = srv.handle(req)
+    assert "error" not in resp
+    direct, _ = search(packed, queries[:1], cfg)
+    assert [(h["score"], h["title"]) for h in resp["results"][0]["hits"]] \
+        == [(h.score, h.title) for h in direct[0].hits]
+    assert len(resp["m8"]) == 8
+    a0 = resp["results"][0]["hits"][0]["alignment"]
+    assert a0["identity"] > 0 and a0["length"] >= a0["identity"]
+
+    # concurrent coalescing on the chip
+    b = Batcher(srv)
+    out = [None, None]
+    reqs = [{"id": i, "queries": [{"title": q.title,
+                                   "seq": decode(q.codes)}]}
+            for i, q in enumerate(queries[1:3])]
+    ts = [threading.Thread(target=lambda i=i: out.__setitem__(
+        i, b.submit(reqs[i]))) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    b.stop()
+    direct2, _ = search(packed, queries[1:3], cfg)
+    for i in range(2):
+        assert [(h["score"], h["title"]) for h in out[i]["results"][0]["hits"]] \
+            == [(h.score, h.title) for h in direct2[i].hits], f"req {i}"
