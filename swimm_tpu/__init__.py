@@ -42,4 +42,10 @@ def __getattr__(name):
     if name in {"EValueModel", "fit_evalue_model", "fit_evalue_model_hist"}:
         from swimm_tpu.utils import stats
         return getattr(stats, name)
+    if name in {"SearchServer", "serve_stdio", "serve_socket"}:
+        from swimm_tpu import server
+        return getattr(server, name)
+    if name == "request":     # jax-free client for a serve --listen server
+        from swimm_tpu.client import request
+        return request
     raise AttributeError(f"module 'swimm_tpu' has no attribute {name!r}")
