@@ -154,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve the same newline-JSON protocol over TCP "
                          "instead of stdin/stdout (PORT 0 picks a free "
                          "port; the bound address is logged to stderr)")
+    sv.add_argument("--http", action="store_true",
+                    help="with --listen: serve HTTP instead of the line "
+                         "protocol (POST /search with the same request "
+                         "JSON; GET /health, /info; stop with SIGTERM)")
     sv.add_argument("--max-batch-queries", type=int, default=64,
                     help="TCP mode: cap on queries coalesced into one "
                          "batched dispatch (queued requests past the cap "
@@ -291,7 +295,10 @@ def _run(args) -> int:
             return serve_socket(load_db(args.db), config,
                                 host or "127.0.0.1", int(port),
                                 warm_lengths=warm,
-                                max_batch_queries=args.max_batch_queries)
+                                max_batch_queries=args.max_batch_queries,
+                                http=args.http)
+        if args.http:
+            raise ValueError("--http requires --listen HOST:PORT")
         return serve_stdio(load_db(args.db), config, warm_lengths=warm)
 
     if args.command == "info":

@@ -408,19 +408,81 @@ def make_socket_server(packed, config, max_batch_queries=64):
     return Server, Handler, srv, batcher
 
 
+def make_http_server(packed, config, max_batch_queries=64):
+    """HTTP front end over the same SearchServer + Batcher (stdlib
+    http.server; no dependencies). Routes:
+
+      POST /search   body = one search-request JSON object (same schema
+                     as the line protocol: queries/query_fasta, top_k,
+                     align, format) -> response JSON
+      GET  /health   -> {"ok": true}
+      GET  /info     -> {"info": {...}}
+
+    Concurrent POSTs coalesce through the shared Batcher exactly like
+    TCP-line clients. Returns (ServerClass, HandlerClass, search_server,
+    batcher)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    srv = SearchServer(packed, config)
+    batcher = Batcher(srv, max_batch_queries=max_batch_queries)
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):     # route access logs to stderr
+            print(f"swtpu serve: http {fmt % a}", file=sys.stderr,
+                  flush=True)
+
+        def _reply(self, code, obj):
+            body = (json.dumps(obj) + "\n").encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._reply(200, {"ok": True})
+            if self.path == "/info":
+                return self._reply(200, {"info": srv.info()})
+            return self._reply(404, {"error": f"no route {self.path!r}; "
+                                     "GET /health, /info or POST /search"})
+
+        def do_POST(self):
+            if self.path not in ("/search", "/"):
+                return self._reply(404, {"error": f"no route {self.path!r};"
+                                         " POST /search"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                if not isinstance(req, dict):
+                    raise ValueError("request must be a JSON object")
+            except ValueError as e:
+                return self._reply(400, {"error": f"bad request body: {e}"})
+            resp = batcher.submit(req)
+            return self._reply(400 if "error" in resp else 200, resp)
+
+    return ThreadingHTTPServer, Handler, srv, batcher
+
+
 def serve_socket(packed, config, host, port, warm_lengths=(),
-                 max_batch_queries=64, stderr=None) -> int:
+                 max_batch_queries=64, stderr=None, http=False) -> int:
     """CLI entry: bind host:port, warm, then serve until shutdown.
 
-    The socket is bound BEFORE the (potentially minutes-long on a cold
-    cache) warm pass so supervisors see the port up immediately; early
-    connections simply wait until serving starts."""
+    http=False serves the newline-JSON line protocol; http=True serves
+    the same request schema over HTTP (POST /search, GET /health|/info;
+    stop via SIGTERM — there is no shutdown route). The socket is bound
+    BEFORE the (potentially minutes-long on a cold cache) warm pass so
+    supervisors see the port up immediately; early connections simply
+    wait until serving starts."""
     stderr = stderr if stderr is not None else sys.stderr
 
     def log(msg):
         print(f"swtpu serve: {msg}", file=stderr, flush=True)
 
-    Server, Handler, srv, batcher = make_socket_server(
+    make = make_http_server if http else make_socket_server
+    Server, Handler, srv, batcher = make(
         packed, config, max_batch_queries=max_batch_queries)
     with Server((host, port), Handler) as tcp:
         if threading.current_thread() is threading.main_thread():
@@ -441,6 +503,7 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
             dt = srv._warm(warm_lengths)
             log(f"warmed {len(warm_lengths)} query lengths in {dt:.1f}s")
         log(f"ready: {packed.n_seqs} sequences resident; serving "
+            f"{'http' if http else 'line protocol'} on "
             f"{bound[0]}:{bound[1]}")
         tcp.serve_forever(poll_interval=0.2)
         batcher.stop()

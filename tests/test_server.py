@@ -533,3 +533,72 @@ def test_socket_server_concurrent_stress(packed):
         tcp.shutdown()
         tcp.server_close()
         batcher.stop()
+
+
+def test_http_server_routes(packed):
+    """HTTP front end: /health, /info, POST /search (parity with the
+    line-protocol handler), 400/404 paths, concurrent coalescing."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from swimm_tpu.server import make_http_server
+
+    Server, Handler, srv, batcher = make_http_server(packed, _cfg())
+    httpd = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        def get(path):
+            try:
+                with urllib.request.urlopen(base + path, timeout=30) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        def post(path, obj):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        assert get("/health") == (200, {"ok": True})
+        code, info = get("/info")
+        assert code == 200 and info["info"]["n_seqs"] == packed.n_seqs
+        assert get("/nope")[0] == 404
+
+        q = synth_queries(1, [37], seed=28)[0]
+        sreq = {"queries": [{"title": q.title, "seq": decode(q.codes)}],
+                "top_k": 3}
+        code, resp = post("/search", sreq)
+        assert code == 200
+        direct = SearchServer(packed, _cfg()).handle(sreq)
+        assert resp["results"] == direct["results"]
+
+        assert post("/search", {"no": "queries"})[0] == 400
+        assert post("/elsewhere", sreq)[0] == 404
+
+        # two concurrent POSTs coalesce through the shared batcher
+        before = batcher.n_dispatches
+        out = [None, None]
+        ts = [threading.Thread(target=lambda i=i: out.__setitem__(
+            i, post("/search", sreq))) for i in range(2)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=120)
+        assert all(o[0] == 200 for o in out)
+        assert out[0][1]["results"] == out[1][1]["results"] \
+            == direct["results"]
+        assert batcher.n_dispatches - before <= 2
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.stop()
