@@ -12,8 +12,11 @@ process alive that
 - then answers newline-delimited JSON requests with one JSON response
   line each — on stdin/stdout by default (the standard subprocess-
   service protocol: trivially driven from any language or a shell
-  heredoc), or over TCP with ``--listen HOST:PORT`` (same protocol per
-  connection, any number of clients; stderr carries logs either way).
+  heredoc), over TCP with ``--listen HOST:PORT`` (same protocol per
+  connection, any number of clients — `swtpu query` is the bundled
+  jax-free client), or over HTTP with ``--listen ... --http`` (POST
+  /search with the same request schema; GET /health, /info). stderr
+  carries logs in every mode.
 
 Request lines:
   {"id": 1, "queries": [{"title": "q1", "seq": "MKV..."}, ...],
@@ -35,9 +38,10 @@ Response lines (matching "id" when given):
 
 Scoring posture (matrix, gaps, precision, streaming, statistics) is fixed
 at server start — one compiled-program working set per process; per-
-request overrides are limited to top_k, which does not change kernel
-shapes (top-k reduction re-specializes per k; the handful of values a
-deployment uses amortize through the persistent compilation cache).
+request overrides are top_k / align / format, none of which change
+kernel shapes (top-k reduction re-specializes per k; the handful of
+values a deployment uses amortize through the persistent compilation
+cache; align/m8 are host-side post-processing).
 """
 
 from __future__ import annotations
@@ -230,6 +234,11 @@ class SearchServer:
             return {"info": self.info(),
                     **({"id": req["id"]} if "id" in req else {})}
         rid = {"id": req["id"]} if "id" in req else {}
+        if cmd is not None:
+            # "shutdown" is intercepted by the transport loops that
+            # support it; anything else reaching here is a typo
+            return {**rid, "error": f"unknown cmd {cmd!r} (ping, info, "
+                                    "shutdown)"}
         try:
             queries, opts = self._parse(req)
             from dataclasses import replace

@@ -602,3 +602,9 @@ def test_http_server_routes(packed):
         httpd.shutdown()
         httpd.server_close()
         batcher.stop()
+
+
+def test_unknown_cmd_errors(packed):
+    srv = SearchServer(packed, _cfg())
+    resp = srv.handle({"cmd": "restart", "id": 4})
+    assert resp["id"] == 4 and "unknown cmd" in resp["error"]
