@@ -162,6 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TCP mode: cap on queries coalesced into one "
                          "batched dispatch (queued requests past the cap "
                          "wait for the next dispatch)")
+    sv.add_argument("--max-top-k", type=int, default=None,
+                    help="ceiling on per-request top_k (default 1024); "
+                         "bounds result size and compile-cache growth "
+                         "from client k sweeps (non-default k dispatches "
+                         "at the next power of two and truncates)")
+    sv.add_argument("--allow-remote-shutdown", action="store_true",
+                    help="TCP line mode: accept {\"cmd\": \"shutdown\"} "
+                         "from non-loopback peers (default: loopback "
+                         "only — without this, --listen on a public host "
+                         "is not remotely killable)")
 
     qy = sub.add_parser(
         "query",
@@ -296,10 +306,17 @@ def _run(args) -> int:
                                 host or "127.0.0.1", int(port),
                                 warm_lengths=warm,
                                 max_batch_queries=args.max_batch_queries,
-                                http=args.http)
+                                http=args.http,
+                                max_top_k=args.max_top_k,
+                                allow_remote_shutdown=
+                                args.allow_remote_shutdown)
         if args.http:
             raise ValueError("--http requires --listen HOST:PORT")
-        return serve_stdio(load_db(args.db), config, warm_lengths=warm)
+        if args.allow_remote_shutdown:
+            raise ValueError("--allow-remote-shutdown requires --listen "
+                             "(stdio has no remote peers)")
+        return serve_stdio(load_db(args.db), config, warm_lengths=warm,
+                           max_top_k=args.max_top_k)
 
     if args.command == "info":
         import numpy as np

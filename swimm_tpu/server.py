@@ -34,14 +34,23 @@ Request lines:
 Response lines (matching "id" when given):
   {"id": 1, "results": [{"query": ..., "hits": [{"rank", "score",
    "title", "evalue"?, "bits"?}, ...]}, ...], "metrics": {...}}
-  {"id": 1, "error": "..."}     -- request-level failure; server stays up
+  {"id": 1, "error": "...", "error_kind": "bad_request"|"internal"|
+   "unavailable"|"forbidden"}   -- request-level failure; server stays up.
+   error_kind lets transports map failures faithfully: the HTTP front
+   end returns 400 for bad_request, 500 for internal (dispatch/search
+   faults), 503 for unavailable (shutting down), 403 for forbidden.
 
 Scoring posture (matrix, gaps, precision, streaming, statistics) is fixed
 at server start — one compiled-program working set per process; per-
 request overrides are top_k / align / format, none of which change
-kernel shapes (top-k reduction re-specializes per k; the handful of
-values a deployment uses amortize through the persistent compilation
-cache; align/m8 are host-side post-processing).
+kernel shapes. The top-k reduction re-specializes per DISTINCT k, so a
+client sweeping k values could force unbounded serial recompiles
+(30 s+ each over the dev tunnel); the server therefore (a) rejects
+top_k above a configured ceiling (max_top_k, CLI --max-top-k) and
+(b) dispatches non-default k at the next power of two and truncates —
+the ranked list under the deterministic tiebreak is prefix-stable in k
+(asserted in tests), so truncation equals a direct k-run while the
+whole k axis compiles at most log2(max_top_k) programs.
 """
 
 from __future__ import annotations
@@ -54,27 +63,60 @@ import time
 
 
 def _encode_queries(req):
-    """Build FastaRecord queries from a request dict (either form)."""
+    """Build FastaRecord queries from a request dict (either form).
+
+    Every type is validated explicitly so a typed-but-malformed request
+    ({"queries": "MKV"}, {"queries": [{"seq": 5}]}, {"query_fasta": 5})
+    raises ValueError — never TypeError/AttributeError from deeper in
+    the stack, which transports would otherwise surface as a crashed
+    connection instead of an {"error": ...} reply (ADVICE r4)."""
     from swimm_tpu.alphabet import encode
     from swimm_tpu.fasta import FastaRecord, parse_fasta_str
     if "query_fasta" in req:
-        recs = parse_fasta_str(req["query_fasta"])
+        fa = req["query_fasta"]
+        if not isinstance(fa, str):
+            raise ValueError(
+                f"query_fasta must be a string (got {type(fa).__name__})")
+        recs = parse_fasta_str(fa)
         if not recs:
             raise ValueError("query_fasta contained no sequences")
         return recs
     queries = req.get("queries")
+    if queries is not None and not isinstance(queries, (list, tuple)):
+        raise ValueError("'queries' must be a list of {title, seq} "
+                         f"objects (got {type(queries).__name__})")
     if not queries:
         raise ValueError(
             "request needs 'queries' (list of {title, seq}) or "
             "'query_fasta' (FASTA text)")
     recs = []
     for i, q in enumerate(queries):
+        if not isinstance(q, dict):
+            raise ValueError(f"queries[{i}] must be an object with a "
+                             f"'seq' field (got {type(q).__name__})")
         seq = q.get("seq", "")
+        if not isinstance(seq, str):
+            raise ValueError(f"queries[{i}].seq must be a string "
+                             f"(got {type(seq).__name__})")
         if not seq:
             raise ValueError(f"queries[{i}] has an empty 'seq'")
         recs.append(FastaRecord(str(q.get("title", f"query{i}")),
                                 encode(seq)))
     return recs
+
+
+def _bucket_k(k: int, default_k: int, max_k: int) -> int:
+    """Dispatch-k for a requested top_k: the server default passes
+    through (already compiled), anything else rounds up to the next
+    power of two capped at max_k, so arbitrary client k values hit at
+    most log2(max_k) compiled top-k reductions. Always >= k (k <= max_k
+    is validated by the caller), so prefix truncation is exact."""
+    if k == default_k:
+        return k
+    b = 1
+    while b < k:
+        b <<= 1
+    return min(b, max_k)
 
 
 def _alignments(result, packed, query, scoring):
@@ -121,11 +163,22 @@ class SearchServer:
     Split from the stdin loop so tests (and a future socket front end)
     can drive it in-process."""
 
-    def __init__(self, packed, config, warm_lengths=()):
+    #: default ceiling on per-request top_k (CLI --max-top-k overrides);
+    #: bounds both result size and the number of distinct top-k
+    #: reduction programs a client sweep can force (see module doc)
+    DEFAULT_MAX_TOP_K = 1024
+
+    def __init__(self, packed, config, warm_lengths=(), max_top_k=None):
         from swimm_tpu.models.engine import search
         self._packed = packed
         self._config = config
         self._search = search
+        self.max_top_k = int(max_top_k) if max_top_k is not None \
+            else self.DEFAULT_MAX_TOP_K
+        if self.max_top_k < config.top_k:
+            raise ValueError(
+                f"max_top_k {self.max_top_k} is below the server default "
+                f"top_k {config.top_k}")
         self.n_requests = 0
         self.n_queries = 0
         self.total_cells = 0         # true DP cells served (excl. warm)
@@ -180,17 +233,33 @@ class SearchServer:
         self.search_seconds += metrics.seconds
 
     def _parse(self, req: dict):
-        """Validate a search request -> (queries, opts). Raises ValueError."""
+        """Validate a search request -> (queries, opts). Raises ValueError
+        on ANY malformed field (types included — transports rely on this
+        to answer bad requests instead of dropping connections).
+
+        opts["top_k"] is the k the client gets (truncation bound);
+        opts["search_k"] is the k the search dispatches at — the
+        power-of-two bucket of top_k, capping compile-cache growth from
+        client k sweeps (see _bucket_k)."""
         queries = _encode_queries(req)
         top_k = self._config.top_k
         if "top_k" in req:
-            top_k = int(req["top_k"])
+            raw = req["top_k"]
+            if isinstance(raw, bool) or not isinstance(raw, int):
+                raise ValueError(
+                    f"top_k must be an integer (got {type(raw).__name__})")
+            top_k = raw
             if top_k <= 0:
                 raise ValueError("top_k must be positive")
+            if top_k > self.max_top_k:
+                raise ValueError(f"top_k {top_k} exceeds the server "
+                                 f"maximum {self.max_top_k}")
         fmt = req.get("format", "json")
         if fmt not in ("json", "m8"):
             raise ValueError(f"format must be 'json' or 'm8' (got {fmt!r})")
         return queries, {"top_k": top_k,
+                         "search_k": _bucket_k(top_k, self._config.top_k,
+                                               self.max_top_k),
                          "align": bool(req.get("align", False)),
                          "format": fmt}
 
@@ -234,22 +303,34 @@ class SearchServer:
             return {"info": self.info(),
                     **({"id": req["id"]} if "id" in req else {})}
         rid = {"id": req["id"]} if "id" in req else {}
+        if cmd == "shutdown":
+            # intercepted by the transport loops that support it
+            # (stdio, TCP line protocol); reaching here means this
+            # transport has no shutdown (HTTP, in-process handler)
+            return {**rid, "error": "shutdown is not supported on this "
+                                    "transport; send SIGTERM to the "
+                                    "server process",
+                    "error_kind": "bad_request"}
         if cmd is not None:
-            # "shutdown" is intercepted by the transport loops that
-            # support it; anything else reaching here is a typo
-            return {**rid, "error": f"unknown cmd {cmd!r} (ping, info, "
-                                    "shutdown)"}
+            return {**rid, "error": f"unknown cmd {cmd!r} (ping, info)",
+                    "error_kind": "bad_request"}
         try:
             queries, opts = self._parse(req)
+        except ValueError as e:
+            return {**rid, "error": str(e), "error_kind": "bad_request"}
+        try:
             from dataclasses import replace
             config = self._config
-            if opts["top_k"] != config.top_k:
-                config = replace(config, top_k=opts["top_k"])
+            if opts["search_k"] != config.top_k:
+                config = replace(config, top_k=opts["search_k"])
             results, metrics = self._search(self._packed, queries, config)
             self._account(1, len(queries), metrics)
             return self._postprocess(queries, results, metrics, opts, rid)
-        except ValueError as e:
-            return {**rid, "error": str(e)}
+        except Exception as e:  # noqa: BLE001 — the resident server's
+            # whole point is amortizing a minutes-long startup; one
+            # faulting search must answer the request and stay up
+            return {**rid, "error": f"search failed: {e!r}",
+                    "error_kind": "internal"}
 
 
 class Batcher:
@@ -265,10 +346,11 @@ class Batcher:
     a busy one batches whatever accumulated (classic zero-latency
     adaptive batching).
 
-    Mixed per-request top_k coalesces by searching at the batch max and
-    truncating per request — the ranked list under the deterministic
-    tiebreak is prefix-stable in k (asserted in tests). align/format
-    are post-processing and stay per-request.
+    Mixed per-request top_k coalesces by searching at the batch max of
+    the power-of-two-bucketed search_k and truncating per request — the
+    ranked list under the deterministic tiebreak is prefix-stable in k
+    (asserted in tests). align/format are post-processing and stay
+    per-request.
     """
 
     def __init__(self, srv: SearchServer, max_batch_queries: int = 64,
@@ -292,12 +374,17 @@ class Batcher:
         rid = {"id": req["id"]} if "id" in req else {}
         try:
             queries, opts = self._srv._parse(req)
-        except ValueError as e:
-            return {**rid, "error": str(e)}
+        except (ValueError, TypeError, KeyError, AttributeError) as e:
+            # _parse raises ValueError for every malformed field it
+            # anticipates; the extra types are a safety net so no
+            # request shape can crash the connection (ADVICE r4)
+            return {**rid, "error": str(e) or repr(e),
+                    "error_kind": "bad_request"}
         box, ev = {}, threading.Event()
         with self._cv:
             if self._stopping:
-                return {**rid, "error": "server is shutting down"}
+                return {**rid, "error": "server is shutting down",
+                        "error_kind": "unavailable"}
             self._pending.append((queries, opts, rid, box, ev))
             self._cv.notify()
         ev.wait()
@@ -334,7 +421,7 @@ class Batcher:
         if not batch:
             return
         all_q = [q for item in batch for q in item[0]]
-        k_max = max(item[1]["top_k"] for item in batch)
+        k_max = max(item[1]["search_k"] for item in batch)
         from dataclasses import replace
         config = self._srv._config
         if k_max != config.top_k:
@@ -363,11 +450,29 @@ class Batcher:
             for queries, opts, rid, box, ev in batch:
                 if "resp" not in box:
                     box["resp"] = {**rid,
-                                   "error": f"batch dispatch failed: {e}"}
+                                   "error": f"batch dispatch failed: {e}",
+                                   "error_kind": "internal"}
                     ev.set()
 
 
-def make_socket_server(packed, config, max_batch_queries=64):
+#: peer addresses allowed to issue {"cmd": "shutdown"} over TCP by
+#: default — loopback only, in both stacks (plus IPv4-mapped IPv6)
+_LOOPBACK_PEERS = ("127.0.0.1", "::1", "::ffff:127.0.0.1")
+
+
+def shutdown_allowed(peer_host: str, allow_remote: bool) -> bool:
+    """Whether a TCP-line client at peer_host may stop the server.
+
+    An unauthenticated remote kill is a footgun the moment --listen
+    binds a non-loopback host (ADVICE r4), so shutdown is restricted to
+    loopback peers unless the operator opts in (--allow-remote-shutdown).
+    """
+    return allow_remote or peer_host in _LOOPBACK_PEERS \
+        or peer_host.startswith("127.")
+
+
+def make_socket_server(packed, config, max_batch_queries=64,
+                       max_top_k=None, allow_remote_shutdown=False):
     """Build (but do not start) a TCP front end over one SearchServer.
 
     Same newline-JSON protocol as serve_stdio, one response line per
@@ -375,13 +480,14 @@ def make_socket_server(packed, config, max_batch_queries=64):
     serialized through a Batcher dispatcher thread: the chip runs one
     program at a time anyway, so instead of interleaving requests,
     concurrent ones coalesce into one multi-query dispatch (see
-    Batcher). `{"cmd": "shutdown"}` from any connection stops the whole
-    server (operator command, matching stdio mode).
+    Batcher). `{"cmd": "shutdown"}` stops the whole server (operator
+    command, matching stdio mode) — from loopback peers only unless
+    allow_remote_shutdown (see shutdown_allowed).
 
     Returns (ServerClass, HandlerClass, search_server, batcher);
     callers bind and serve (`serve_socket` for the CLI, in-process
     threads for tests) and call batcher.stop() when done."""
-    srv = SearchServer(packed, config)
+    srv = SearchServer(packed, config, max_top_k=max_top_k)
     batcher = Batcher(srv, max_batch_queries=max_batch_queries)
 
     class Handler(socketserver.StreamRequestHandler):
@@ -399,11 +505,22 @@ def make_socket_server(packed, config, max_batch_queries=64):
                     if not isinstance(req, dict):
                         raise ValueError("request must be a JSON object")
                 except ValueError as e:
-                    self._send({"error": f"bad request line: {e}"})
+                    self._send({"error": f"bad request line: {e}",
+                                "error_kind": "bad_request"})
                     continue
                 if req.get("cmd") == "shutdown":
+                    rid = {"id": req["id"]} if "id" in req else {}
+                    if not shutdown_allowed(self.client_address[0],
+                                            allow_remote_shutdown):
+                        self._send({**rid, "error":
+                                    "shutdown refused from non-loopback "
+                                    f"peer {self.client_address[0]}; start "
+                                    "the server with "
+                                    "--allow-remote-shutdown to permit it",
+                                    "error_kind": "forbidden"})
+                        continue
                     self._send({"ok": True, "served": srv.n_requests,
-                                **({"id": req["id"]} if "id" in req else {})})
+                                **rid})
                     # handler threads are distinct from the serve_forever
                     # thread, so calling shutdown() here cannot deadlock
                     self.server.shutdown()
@@ -417,7 +534,13 @@ def make_socket_server(packed, config, max_batch_queries=64):
     return Server, Handler, srv, batcher
 
 
-def make_http_server(packed, config, max_batch_queries=64):
+#: error_kind -> HTTP status; absent/unknown kinds default to 400
+#: (every historical error producer is a request-validation path)
+_HTTP_STATUS = {"bad_request": 400, "forbidden": 403,
+                "internal": 500, "unavailable": 503}
+
+
+def make_http_server(packed, config, max_batch_queries=64, max_top_k=None):
     """HTTP front end over the same SearchServer + Batcher (stdlib
     http.server; no dependencies). Routes:
 
@@ -428,11 +551,13 @@ def make_http_server(packed, config, max_batch_queries=64):
       GET  /info     -> {"info": {...}}
 
     Concurrent POSTs coalesce through the shared Batcher exactly like
-    TCP-line clients. Returns (ServerClass, HandlerClass, search_server,
-    batcher)."""
+    TCP-line clients. Error responses map error_kind -> status so
+    clients and load balancers can tell bad input (400) from a server
+    fault (500) or shedding (503). Returns (ServerClass, HandlerClass,
+    search_server, batcher)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    srv = SearchServer(packed, config)
+    srv = SearchServer(packed, config, max_top_k=max_top_k)
     batcher = Batcher(srv, max_batch_queries=max_batch_queries)
 
     class Handler(BaseHTTPRequestHandler):
@@ -468,15 +593,19 @@ def make_http_server(packed, config, max_batch_queries=64):
                 if not isinstance(req, dict):
                     raise ValueError("request must be a JSON object")
             except ValueError as e:
-                return self._reply(400, {"error": f"bad request body: {e}"})
+                return self._reply(400, {"error": f"bad request body: {e}",
+                                         "error_kind": "bad_request"})
             resp = batcher.submit(req)
-            return self._reply(400 if "error" in resp else 200, resp)
+            code = (_HTTP_STATUS.get(resp.get("error_kind"), 400)
+                    if "error" in resp else 200)
+            return self._reply(code, resp)
 
     return ThreadingHTTPServer, Handler, srv, batcher
 
 
 def serve_socket(packed, config, host, port, warm_lengths=(),
-                 max_batch_queries=64, stderr=None, http=False) -> int:
+                 max_batch_queries=64, stderr=None, http=False,
+                 max_top_k=None, allow_remote_shutdown=False) -> int:
     """CLI entry: bind host:port, warm, then serve until shutdown.
 
     http=False serves the newline-JSON line protocol; http=True serves
@@ -490,9 +619,15 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
     def log(msg):
         print(f"swtpu serve: {msg}", file=stderr, flush=True)
 
-    make = make_http_server if http else make_socket_server
-    Server, Handler, srv, batcher = make(
-        packed, config, max_batch_queries=max_batch_queries)
+    if http:
+        Server, Handler, srv, batcher = make_http_server(
+            packed, config, max_batch_queries=max_batch_queries,
+            max_top_k=max_top_k)
+    else:
+        Server, Handler, srv, batcher = make_socket_server(
+            packed, config, max_batch_queries=max_batch_queries,
+            max_top_k=max_top_k,
+            allow_remote_shutdown=allow_remote_shutdown)
     with Server((host, port), Handler) as tcp:
         if threading.current_thread() is threading.main_thread():
             import signal
@@ -522,7 +657,7 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
 
 
 def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
-                stderr=None) -> int:
+                stderr=None, max_top_k=None) -> int:
     """Run the newline-JSON loop until EOF or a shutdown command."""
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
@@ -532,7 +667,7 @@ def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
         print(f"swtpu serve: {msg}", file=stderr, flush=True)
 
     t0 = time.perf_counter()
-    srv = SearchServer(packed, config)
+    srv = SearchServer(packed, config, max_top_k=max_top_k)
     if warm_lengths:
         dt = srv._warm(warm_lengths)
         log(f"warmed {len(warm_lengths)} query lengths in {dt:.1f}s")
@@ -548,7 +683,8 @@ def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
             if not isinstance(req, dict):
                 raise ValueError("request must be a JSON object")
         except ValueError as e:
-            print(json.dumps({"error": f"bad request line: {e}"}),
+            print(json.dumps({"error": f"bad request line: {e}",
+                              "error_kind": "bad_request"}),
                   file=stdout, flush=True)
             continue
         if req.get("cmd") == "shutdown":

@@ -608,3 +608,181 @@ def test_unknown_cmd_errors(packed):
     srv = SearchServer(packed, _cfg())
     resp = srv.handle({"cmd": "restart", "id": 4})
     assert resp["id"] == 4 and "unknown cmd" in resp["error"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4 hardening: typed-but-malformed requests, error kinds, top_k
+# ceiling + power-of-two dispatch bucketing, loopback-gated TCP shutdown.
+
+MALFORMED = [
+    {"queries": [{"seq": 5}]},          # non-string seq
+    {"queries": "MKV"},                 # queries not a list
+    {"queries": [5]},                   # element not an object
+    {"query_fasta": 5},                 # fasta not a string
+    {"queries": [{"seq": "ACD"}], "top_k": [4]},    # top_k not an int
+    {"queries": [{"seq": "ACD"}], "top_k": True},   # bool is not a k
+]
+
+
+def test_handle_malformed_types_stay_up(packed):
+    """Every typed-but-malformed request gets an {"error": ...} reply
+    with error_kind bad_request — never an exception that would kill a
+    transport loop — and the server keeps serving afterwards."""
+    srv = SearchServer(packed, _cfg())
+    for req in MALFORMED:
+        resp = srv.handle(dict(req, id=7))
+        assert resp.get("error_kind") == "bad_request", req
+        assert resp["id"] == 7 and "error" in resp, req
+    assert srv.n_requests == 0
+    q = synth_queries(1, [33], seed=31)[0]
+    ok = srv.handle({"queries": [{"title": "q", "seq": decode(q.codes)}]})
+    assert "error" not in ok and len(ok["results"]) == 1
+
+
+def test_batcher_malformed_types_answer_immediately(packed):
+    from swimm_tpu.server import Batcher
+    srv = SearchServer(packed, _cfg())
+    b = Batcher(srv, autostart=False)
+    for req in MALFORMED:
+        resp = b.submit(dict(req, id=8))
+        assert resp.get("error_kind") == "bad_request", req
+        assert resp["id"] == 8 and "error" in resp, req
+    with b._cv:
+        assert not b._pending        # nothing queued, nothing to hang on
+
+
+def test_stdio_malformed_types_stay_up(packed):
+    """End-to-end through serve_stdio: a malformed line must not crash
+    the resident process (the r4 advisory's stdio failure mode)."""
+    import io
+    q = synth_queries(1, [29], seed=32)[0]
+    lines = [json.dumps(dict(m, id=i)) for i, m in enumerate(MALFORMED)]
+    lines.append(json.dumps({"id": 99, "queries": [
+        {"title": "q", "seq": decode(q.codes)}]}))
+    out, err = io.StringIO(), io.StringIO()
+    rc = serve_stdio(packed, _cfg(), stdin=io.StringIO("\n".join(lines)),
+                     stdout=out, stderr=err)
+    assert rc == 0
+    resps = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(resps) == len(MALFORMED) + 1
+    for r in resps[:-1]:
+        assert "error" in r and r["error_kind"] == "bad_request"
+    assert resps[-1]["id"] == 99 and len(resps[-1]["results"]) == 1
+
+
+def test_handle_internal_fault_answers_and_stays_up(packed):
+    """A fault INSIDE the search (past validation) answers the request
+    with error_kind internal instead of killing the server."""
+    srv = SearchServer(packed, _cfg())
+
+    def boom(*a, **kw):
+        raise RuntimeError("synthetic device fault")
+
+    real = srv._search
+    srv._search = boom
+    q = synth_queries(1, [30], seed=33)[0]
+    req = {"id": 5, "queries": [{"title": "q", "seq": decode(q.codes)}]}
+    resp = srv.handle(req)
+    assert resp["id"] == 5 and resp["error_kind"] == "internal"
+    assert "synthetic device fault" in resp["error"]
+    srv._search = real
+    assert "error" not in srv.handle(req)
+
+
+def test_handle_shutdown_explicit_message(packed):
+    srv = SearchServer(packed, _cfg())
+    resp = srv.handle({"cmd": "shutdown", "id": 6})
+    assert resp["id"] == 6 and resp["error_kind"] == "bad_request"
+    assert "SIGTERM" in resp["error"]
+    assert "unknown cmd" not in resp["error"]
+
+
+def test_top_k_ceiling_and_bucketing(packed):
+    from swimm_tpu.server import _bucket_k
+    # unit: default passes through, others round up to pow2 capped
+    assert _bucket_k(4, 4, 1024) == 4
+    assert _bucket_k(5, 4, 1024) == 8
+    assert _bucket_k(3, 4, 1024) == 4
+    assert _bucket_k(1, 4, 1024) == 1
+    assert _bucket_k(1000, 4, 1024) == 1024
+    assert _bucket_k(1024, 4, 1024) == 1024
+
+    srv = SearchServer(packed, _cfg(), max_top_k=8)
+    q = synth_queries(1, [41], seed=34)[0]
+    qd = [{"title": "q", "seq": decode(q.codes)}]
+    resp = srv.handle({"queries": qd, "top_k": 9})
+    assert resp["error_kind"] == "bad_request" and "maximum 8" in resp["error"]
+    # k=5 dispatches at the 8-bucket and truncates: must equal the
+    # 8-prefix of a direct k=8 run (prefix stability)
+    r5 = srv.handle({"queries": qd, "top_k": 5})
+    r8 = srv.handle({"queries": qd, "top_k": 8})
+    assert len(r5["results"][0]["hits"]) == 5
+    assert r5["results"][0]["hits"] == r8["results"][0]["hits"][:5]
+    # ceiling below the server default is a config error
+    with pytest.raises(ValueError, match="below the server default"):
+        SearchServer(packed, _cfg(), max_top_k=2)
+
+
+def test_shutdown_loopback_gate():
+    from swimm_tpu.server import shutdown_allowed
+    assert shutdown_allowed("127.0.0.1", False)
+    assert shutdown_allowed("127.0.0.53", False)
+    assert shutdown_allowed("::1", False)
+    assert shutdown_allowed("::ffff:127.0.0.1", False)
+    assert not shutdown_allowed("10.0.0.5", False)
+    assert not shutdown_allowed("192.168.1.9", False)
+    assert shutdown_allowed("10.0.0.5", True)
+
+
+def test_http_error_status_mapping(packed):
+    """HTTP front end maps error_kind -> status: 400 for bad input,
+    500 for an internal dispatch fault (load balancers must be able to
+    tell them apart — ADVICE r4)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from swimm_tpu.server import make_http_server
+
+    Server, Handler, srv, batcher = make_http_server(packed, _cfg())
+    httpd = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=httpd.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        def post(obj):
+            req = urllib.request.Request(
+                base + "/search", data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        for m in MALFORMED:
+            code, resp = post(m)
+            assert code == 400 and resp["error_kind"] == "bad_request", m
+        # shutdown has no HTTP route-through: explicit 400, not "unknown"
+        code, resp = post({"cmd": "shutdown"})
+        assert code == 400 and "SIGTERM" in resp["error"]
+        # internal fault -> 500
+        real = srv._search
+
+        def boom(*a, **kw):
+            raise RuntimeError("synthetic dispatch fault")
+
+        srv._search = boom
+        q = synth_queries(1, [26], seed=35)[0]
+        good = {"queries": [{"title": "q", "seq": decode(q.codes)}]}
+        code, resp = post(good)
+        assert code == 500 and resp["error_kind"] == "internal"
+        srv._search = real
+        code, resp = post(good)
+        assert code == 200 and "error" not in resp
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.stop()
