@@ -21,13 +21,24 @@ Swiss-Prot-scale bench DB, pre-warmed via --warm:
               dispatch, so total wall should approach ONE batched
               search, not N serial ones
 
+Round-5 additions:
+  --soak N     N further serial requests cycling the query set, with the
+               SERVER process RSS sampled from /proc (is memory flat over
+               hundreds of requests?) -> soak_* keys incl. rss growth
+  --stream     start the server in the windowed streaming posture
+               (--stream: DB larger than HBM) and measure the same
+               request latencies through it
+
 Prints one JSON line:
   {"startup_s": ..., "serial_request_s": [...], "median_request_s": ...,
    "request_gcups": ..., "concurrent_wall_s": ..., "concurrent_n": ...,
-   "concurrent_dispatches": ..., "concurrent_gcups": ...}
+   "concurrent_dispatches": ..., "concurrent_gcups": ...,
+   "soak_n"?: ..., "soak_errors"?: ..., "soak_p50_s"?: ...,
+   "soak_p95_s"?: ..., "soak_rss_first_mb"?: ..., "soak_rss_last_mb"?: ...,
+   "soak_rss_growth_mb"?: ..., "posture"?: "stream"}
 
 Usage: python benchmarks/bench_serve.py [--n-requests 5] [--n-seqs N]
-       [--concurrent 8]
+       [--concurrent 8] [--soak 0] [--stream]
 """
 
 import argparse
@@ -53,12 +64,26 @@ def _request(port, req, timeout=600):
         return json.loads(f.readline())
 
 
+def _rss_mb(pid) -> float:
+    """Resident set size of a process in MB (Linux /proc)."""
+    with open(f"/proc/{pid}/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-requests", type=int, default=5)
     ap.add_argument("--concurrent", type=int, default=8)
     ap.add_argument("--n-seqs", type=int, default=570_000)
     ap.add_argument("--top-k", type=int, default=16)
+    ap.add_argument("--soak", type=int, default=0,
+                    help="extra serial requests cycling the query set, "
+                         "with server RSS sampled (memory-flatness soak)")
+    ap.add_argument("--stream", action="store_true",
+                    help="serve through the windowed streaming posture")
     args = ap.parse_args()
 
     from swimm_tpu.alphabet import decode
@@ -84,7 +109,8 @@ def main() -> int:
         [sys.executable, "-m", "swimm_tpu.cli", "serve",
          "-d", str(dbdir), "-r", str(args.top_k),
          "--listen", "127.0.0.1:0",
-         "--warm", ",".join(str(l) for l in qlens)],
+         "--warm", ",".join(str(l) for l in qlens)]
+        + (["--stream"] if args.stream else []),
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         text=True, bufsize=1, cwd=str(REPO), env=env)
     try:
@@ -144,6 +170,34 @@ def main() -> int:
         n_dispatch = len(uniq)
         conc_cells = sum(json.loads(u)["cells"] for u in uniq)
 
+        soak = {}
+        if args.soak > 0:
+            # memory-flatness soak: does a long-lived server's RSS stay
+            # flat over many requests? First-request RSS is the anchor
+            # (first requests may still fault in pages); growth past it
+            # indicates a leak in the serving loop.
+            slat, errors = [], 0
+            rss_first = rss_last = None
+            for i in range(args.soak):
+                t3 = time.perf_counter()
+                resp = _request(port, req_for(i % n_q))
+                slat.append(time.perf_counter() - t3)
+                if "error" in resp:
+                    errors += 1
+                if i == 0:
+                    rss_first = _rss_mb(proc.pid)
+            rss_last = _rss_mb(proc.pid)
+            s = sorted(slat)
+            soak = {
+                "soak_n": args.soak,
+                "soak_errors": errors,
+                "soak_p50_s": round(s[len(s) // 2], 2),
+                "soak_p95_s": round(s[int(len(s) * 0.95)], 2),
+                "soak_rss_first_mb": round(rss_first, 1),
+                "soak_rss_last_mb": round(rss_last, 1),
+                "soak_rss_growth_mb": round(rss_last - rss_first, 1),
+            }
+
         _request(port, {"cmd": "shutdown"}, timeout=60)
         proc.wait(timeout=60)
     finally:
@@ -155,7 +209,9 @@ def main() -> int:
     print(json.dumps({
         "metric": ("request latency through a resident swtpu serve "
                    f"--listen process, 1 query/request vs "
-                   f"{args.n_seqs}-seq DB"),
+                   f"{args.n_seqs}-seq DB"
+                   + (" (streaming posture)" if args.stream else "")),
+        **({"posture": "stream"} if args.stream else {}),
         "startup_s": round(startup_s, 1),
         "serial_request_s": [round(x, 2) for x in lat],
         "median_request_s": round(med, 2),
@@ -164,6 +220,7 @@ def main() -> int:
         "concurrent_wall_s": round(conc_wall, 2),
         "concurrent_dispatches": n_dispatch,
         "concurrent_gcups": round(conc_cells / conc_wall / 1e9, 1),
+        **soak,
     }))
     return 0
 

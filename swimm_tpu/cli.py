@@ -167,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "bounds result size and compile-cache growth "
                          "from client k sweeps (non-default k dispatches "
                          "at the next power of two and truncates)")
+    sv.add_argument("--request-timeout", type=float, default=None,
+                    metavar="SECONDS",
+                    help="TCP/HTTP mode: bound how long a request may "
+                         "wait on the dispatch queue; expired requests "
+                         "get an error_kind 'timeout' reply (HTTP 504). "
+                         "Default: wait forever")
     sv.add_argument("--allow-remote-shutdown", action="store_true",
                     help="TCP line mode: accept {\"cmd\": \"shutdown\"} "
                          "from non-loopback peers (default: loopback "
@@ -302,6 +308,8 @@ def _run(args) -> int:
                     f"--listen must be HOST:PORT (got {args.listen!r})")
             if args.max_batch_queries <= 0:
                 raise ValueError("--max-batch-queries must be positive")
+            if args.request_timeout is not None and args.request_timeout <= 0:
+                raise ValueError("--request-timeout must be positive")
             return serve_socket(load_db(args.db), config,
                                 host or "127.0.0.1", int(port),
                                 warm_lengths=warm,
@@ -309,12 +317,16 @@ def _run(args) -> int:
                                 http=args.http,
                                 max_top_k=args.max_top_k,
                                 allow_remote_shutdown=
-                                args.allow_remote_shutdown)
+                                args.allow_remote_shutdown,
+                                request_timeout=args.request_timeout)
         if args.http:
             raise ValueError("--http requires --listen HOST:PORT")
         if args.allow_remote_shutdown:
             raise ValueError("--allow-remote-shutdown requires --listen "
                              "(stdio has no remote peers)")
+        if args.request_timeout is not None:
+            raise ValueError("--request-timeout requires --listen "
+                             "(stdio serves one request at a time)")
         return serve_stdio(load_db(args.db), config, warm_lengths=warm,
                            max_top_k=args.max_top_k)
 

@@ -35,10 +35,11 @@ Response lines (matching "id" when given):
   {"id": 1, "results": [{"query": ..., "hits": [{"rank", "score",
    "title", "evalue"?, "bits"?}, ...]}, ...], "metrics": {...}}
   {"id": 1, "error": "...", "error_kind": "bad_request"|"internal"|
-   "unavailable"|"forbidden"}   -- request-level failure; server stays up.
-   error_kind lets transports map failures faithfully: the HTTP front
-   end returns 400 for bad_request, 500 for internal (dispatch/search
-   faults), 503 for unavailable (shutting down), 403 for forbidden.
+   "unavailable"|"forbidden"|"timeout"}  -- request-level failure; the
+   server stays up. error_kind lets transports map failures faithfully:
+   the HTTP front end returns 400 for bad_request, 500 for internal
+   (dispatch/search faults), 503 for unavailable (shutting down), 403
+   for forbidden, 504 for timeout (--request-timeout exceeded).
 
 Scoring posture (matrix, gaps, precision, streaming, statistics) is fixed
 at server start — one compiled-program working set per process; per-
@@ -351,12 +352,21 @@ class Batcher:
     ranked list under the deterministic tiebreak is prefix-stable in k
     (asserted in tests). align/format are post-processing and stay
     per-request.
+
+    request_timeout (seconds, None = wait forever) bounds how long a
+    client blocks: a request still QUEUED at expiry is withdrawn (true
+    cancellation); one already dispatched cannot be cancelled mid-
+    flight on device, so the client gets the timeout error and the
+    result is discarded when it lands. Either way the reply carries
+    error_kind "timeout" (HTTP 504).
     """
 
     def __init__(self, srv: SearchServer, max_batch_queries: int = 64,
-                 autostart: bool = True, stderr=None):
+                 autostart: bool = True, stderr=None,
+                 request_timeout: float = None):
         self._srv = srv
         self._max = int(max_batch_queries)
+        self._timeout = float(request_timeout) if request_timeout else None
         self._cv = threading.Condition()
         self._pending = []          # [(queries, opts, rid, box, event)]
         self._stopping = False
@@ -381,14 +391,32 @@ class Batcher:
             return {**rid, "error": str(e) or repr(e),
                     "error_kind": "bad_request"}
         box, ev = {}, threading.Event()
+        item = (queries, opts, rid, box, ev)
         with self._cv:
             if self._stopping:
                 return {**rid, "error": "server is shutting down",
                         "error_kind": "unavailable"}
-            self._pending.append((queries, opts, rid, box, ev))
+            self._pending.append(item)
             self._cv.notify()
-        ev.wait()
-        return box["resp"]
+        if ev.wait(self._timeout):
+            return box["resp"]
+        # timed out: if still queued, withdraw it (true cancellation —
+        # the dispatch it would have joined never sees it); if already
+        # picked up, the device program cannot be cancelled mid-flight,
+        # so answer the client now and let the result drop on the floor
+        with self._cv:
+            # identity scan, not `in`: tuple == would compare the
+            # FastaRecords' numpy code arrays (ambiguous-truth error)
+            queued = any(p is item for p in self._pending)
+            if queued:
+                self._pending = [p for p in self._pending if p is not item]
+        if not queued and ev.wait(0.05):     # lost the race: it finished
+            return box["resp"]
+        state = "cancelled while queued" if queued else \
+            "still completing on device; its result will be discarded"
+        return {**rid, "error": f"request timed out after "
+                                f"{self._timeout:g}s ({state})",
+                "error_kind": "timeout"}
 
     def stop(self):
         with self._cv:
@@ -472,7 +500,8 @@ def shutdown_allowed(peer_host: str, allow_remote: bool) -> bool:
 
 
 def make_socket_server(packed, config, max_batch_queries=64,
-                       max_top_k=None, allow_remote_shutdown=False):
+                       max_top_k=None, allow_remote_shutdown=False,
+                       request_timeout=None):
     """Build (but do not start) a TCP front end over one SearchServer.
 
     Same newline-JSON protocol as serve_stdio, one response line per
@@ -488,7 +517,8 @@ def make_socket_server(packed, config, max_batch_queries=64,
     callers bind and serve (`serve_socket` for the CLI, in-process
     threads for tests) and call batcher.stop() when done."""
     srv = SearchServer(packed, config, max_top_k=max_top_k)
-    batcher = Batcher(srv, max_batch_queries=max_batch_queries)
+    batcher = Batcher(srv, max_batch_queries=max_batch_queries,
+                      request_timeout=request_timeout)
 
     class Handler(socketserver.StreamRequestHandler):
         def _send(self, obj):
@@ -537,10 +567,11 @@ def make_socket_server(packed, config, max_batch_queries=64,
 #: error_kind -> HTTP status; absent/unknown kinds default to 400
 #: (every historical error producer is a request-validation path)
 _HTTP_STATUS = {"bad_request": 400, "forbidden": 403,
-                "internal": 500, "unavailable": 503}
+                "internal": 500, "unavailable": 503, "timeout": 504}
 
 
-def make_http_server(packed, config, max_batch_queries=64, max_top_k=None):
+def make_http_server(packed, config, max_batch_queries=64, max_top_k=None,
+                     request_timeout=None):
     """HTTP front end over the same SearchServer + Batcher (stdlib
     http.server; no dependencies). Routes:
 
@@ -558,7 +589,8 @@ def make_http_server(packed, config, max_batch_queries=64, max_top_k=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     srv = SearchServer(packed, config, max_top_k=max_top_k)
-    batcher = Batcher(srv, max_batch_queries=max_batch_queries)
+    batcher = Batcher(srv, max_batch_queries=max_batch_queries,
+                      request_timeout=request_timeout)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -605,7 +637,8 @@ def make_http_server(packed, config, max_batch_queries=64, max_top_k=None):
 
 def serve_socket(packed, config, host, port, warm_lengths=(),
                  max_batch_queries=64, stderr=None, http=False,
-                 max_top_k=None, allow_remote_shutdown=False) -> int:
+                 max_top_k=None, allow_remote_shutdown=False,
+                 request_timeout=None) -> int:
     """CLI entry: bind host:port, warm, then serve until shutdown.
 
     http=False serves the newline-JSON line protocol; http=True serves
@@ -622,12 +655,13 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
     if http:
         Server, Handler, srv, batcher = make_http_server(
             packed, config, max_batch_queries=max_batch_queries,
-            max_top_k=max_top_k)
+            max_top_k=max_top_k, request_timeout=request_timeout)
     else:
         Server, Handler, srv, batcher = make_socket_server(
             packed, config, max_batch_queries=max_batch_queries,
             max_top_k=max_top_k,
-            allow_remote_shutdown=allow_remote_shutdown)
+            allow_remote_shutdown=allow_remote_shutdown,
+            request_timeout=request_timeout)
     with Server((host, port), Handler) as tcp:
         if threading.current_thread() is threading.main_thread():
             import signal

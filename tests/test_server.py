@@ -786,3 +786,63 @@ def test_http_error_status_mapping(packed):
         httpd.shutdown()
         httpd.server_close()
         batcher.stop()
+
+
+def test_request_timeout_cancels_queued(packed):
+    """With no dispatcher running, a timed-out request is withdrawn
+    from the queue (true cancellation) and answered error_kind timeout."""
+    import time
+
+    from swimm_tpu.server import Batcher
+    srv = SearchServer(packed, _cfg())
+    b = Batcher(srv, autostart=False, request_timeout=0.25)
+    q = synth_queries(1, [30], seed=36)[0]
+    req = {"id": 1, "queries": [{"title": "q", "seq": decode(q.codes)}]}
+    t0 = time.perf_counter()
+    resp = b.submit(req)
+    assert time.perf_counter() - t0 < 5
+    assert resp["id"] == 1 and resp["error_kind"] == "timeout"
+    assert "cancelled while queued" in resp["error"]
+    with b._cv:
+        assert not b._pending         # withdrawn, not left to dispatch
+
+
+def test_request_timeout_in_flight_discards(packed):
+    """A request already dispatched when the timeout fires answers the
+    client immediately; the (uncancellable) search result is discarded
+    and the server keeps serving."""
+    import time
+
+    from swimm_tpu.server import Batcher
+    srv = SearchServer(packed, _cfg())
+    real = srv._search
+
+    def slow(*a, **kw):
+        time.sleep(1.2)
+        return real(*a, **kw)
+
+    srv._search = slow
+    b = Batcher(srv, request_timeout=0.3)      # autostarted dispatcher
+    try:
+        q = synth_queries(1, [28], seed=37)[0]
+        req = {"id": 2, "queries": [{"title": "q", "seq": decode(q.codes)}]}
+        t0 = time.perf_counter()
+        resp = b.submit(req)
+        dt = time.perf_counter() - t0
+        assert resp["error_kind"] == "timeout", resp
+        assert "discarded" in resp["error"]
+        assert dt < 1.0                        # answered before the search
+        srv._search = real
+        for _ in range(100):                   # let the slow dispatch drain
+            time.sleep(0.05)
+            if b.n_dispatches >= 1:
+                break
+        ok = b.submit(req)
+        assert "error" not in ok and ok["id"] == 2
+    finally:
+        b.stop()
+
+
+def test_http_status_map_has_timeout():
+    from swimm_tpu.server import _HTTP_STATUS
+    assert _HTTP_STATUS["timeout"] == 504
