@@ -167,6 +167,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "bounds result size and compile-cache growth "
                          "from client k sweeps (non-default k dispatches "
                          "at the next power of two and truncates)")
+    sv.add_argument("--max-query-len", type=int, default=None,
+                    metavar="AA",
+                    help="reject queries longer than this (default: "
+                         "unlimited). Every new padded query length "
+                         "compiles a fresh program, so a deployment that "
+                         "--warm'ed its expected lengths can bound what "
+                         "clients may submit")
     sv.add_argument("--request-timeout", type=float, default=None,
                     metavar="SECONDS",
                     help="TCP/HTTP mode: bound how long a request may "
@@ -318,7 +325,8 @@ def _run(args) -> int:
                                 max_top_k=args.max_top_k,
                                 allow_remote_shutdown=
                                 args.allow_remote_shutdown,
-                                request_timeout=args.request_timeout)
+                                request_timeout=args.request_timeout,
+                                max_query_len=args.max_query_len)
         if args.http:
             raise ValueError("--http requires --listen HOST:PORT")
         if args.allow_remote_shutdown:
@@ -328,7 +336,8 @@ def _run(args) -> int:
             raise ValueError("--request-timeout requires --listen "
                              "(stdio serves one request at a time)")
         return serve_stdio(load_db(args.db), config, warm_lengths=warm,
-                           max_top_k=args.max_top_k)
+                           max_top_k=args.max_top_k,
+                           max_query_len=args.max_query_len)
 
     if args.command == "info":
         import numpy as np

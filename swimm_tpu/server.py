@@ -169,7 +169,8 @@ class SearchServer:
     #: reduction programs a client sweep can force (see module doc)
     DEFAULT_MAX_TOP_K = 1024
 
-    def __init__(self, packed, config, warm_lengths=(), max_top_k=None):
+    def __init__(self, packed, config, warm_lengths=(), max_top_k=None,
+                 max_query_len=None):
         from swimm_tpu.models.engine import search
         self._packed = packed
         self._config = config
@@ -180,6 +181,13 @@ class SearchServer:
             raise ValueError(
                 f"max_top_k {self.max_top_k} is below the server default "
                 f"top_k {config.top_k}")
+        # optional ceiling on query length: every new padded length
+        # compiles a fresh program (~30-250 s over the dev tunnel), and
+        # a deployment that warmed its expected lengths may not want an
+        # arbitrary client to submit a 100k-aa "query" that monopolizes
+        # the dispatcher. None = unlimited (the engine's long-query
+        # tiling handles any length correctly).
+        self.max_query_len = int(max_query_len) if max_query_len else None
         self.n_requests = 0
         self.n_queries = 0
         self.total_cells = 0         # true DP cells served (excl. warm)
@@ -243,6 +251,12 @@ class SearchServer:
         power-of-two bucket of top_k, capping compile-cache growth from
         client k sweeps (see _bucket_k)."""
         queries = _encode_queries(req)
+        if self.max_query_len is not None:
+            for q in queries:
+                if q.length > self.max_query_len:
+                    raise ValueError(
+                        f"query {q.title!r} is {q.length} aa, over the "
+                        f"server maximum {self.max_query_len}")
         top_k = self._config.top_k
         if "top_k" in req:
             raw = req["top_k"]
@@ -501,7 +515,7 @@ def shutdown_allowed(peer_host: str, allow_remote: bool) -> bool:
 
 def make_socket_server(packed, config, max_batch_queries=64,
                        max_top_k=None, allow_remote_shutdown=False,
-                       request_timeout=None):
+                       request_timeout=None, max_query_len=None):
     """Build (but do not start) a TCP front end over one SearchServer.
 
     Same newline-JSON protocol as serve_stdio, one response line per
@@ -516,7 +530,8 @@ def make_socket_server(packed, config, max_batch_queries=64,
     Returns (ServerClass, HandlerClass, search_server, batcher);
     callers bind and serve (`serve_socket` for the CLI, in-process
     threads for tests) and call batcher.stop() when done."""
-    srv = SearchServer(packed, config, max_top_k=max_top_k)
+    srv = SearchServer(packed, config, max_top_k=max_top_k,
+                       max_query_len=max_query_len)
     batcher = Batcher(srv, max_batch_queries=max_batch_queries,
                       request_timeout=request_timeout)
 
@@ -571,7 +586,7 @@ _HTTP_STATUS = {"bad_request": 400, "forbidden": 403,
 
 
 def make_http_server(packed, config, max_batch_queries=64, max_top_k=None,
-                     request_timeout=None):
+                     request_timeout=None, max_query_len=None):
     """HTTP front end over the same SearchServer + Batcher (stdlib
     http.server; no dependencies). Routes:
 
@@ -588,7 +603,8 @@ def make_http_server(packed, config, max_batch_queries=64, max_top_k=None,
     search_server, batcher)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    srv = SearchServer(packed, config, max_top_k=max_top_k)
+    srv = SearchServer(packed, config, max_top_k=max_top_k,
+                       max_query_len=max_query_len)
     batcher = Batcher(srv, max_batch_queries=max_batch_queries,
                       request_timeout=request_timeout)
 
@@ -638,7 +654,7 @@ def make_http_server(packed, config, max_batch_queries=64, max_top_k=None,
 def serve_socket(packed, config, host, port, warm_lengths=(),
                  max_batch_queries=64, stderr=None, http=False,
                  max_top_k=None, allow_remote_shutdown=False,
-                 request_timeout=None) -> int:
+                 request_timeout=None, max_query_len=None) -> int:
     """CLI entry: bind host:port, warm, then serve until shutdown.
 
     http=False serves the newline-JSON line protocol; http=True serves
@@ -655,13 +671,15 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
     if http:
         Server, Handler, srv, batcher = make_http_server(
             packed, config, max_batch_queries=max_batch_queries,
-            max_top_k=max_top_k, request_timeout=request_timeout)
+            max_top_k=max_top_k, request_timeout=request_timeout,
+            max_query_len=max_query_len)
     else:
         Server, Handler, srv, batcher = make_socket_server(
             packed, config, max_batch_queries=max_batch_queries,
             max_top_k=max_top_k,
             allow_remote_shutdown=allow_remote_shutdown,
-            request_timeout=request_timeout)
+            request_timeout=request_timeout,
+            max_query_len=max_query_len)
     with Server((host, port), Handler) as tcp:
         if threading.current_thread() is threading.main_thread():
             import signal
@@ -691,7 +709,7 @@ def serve_socket(packed, config, host, port, warm_lengths=(),
 
 
 def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
-                stderr=None, max_top_k=None) -> int:
+                stderr=None, max_top_k=None, max_query_len=None) -> int:
     """Run the newline-JSON loop until EOF or a shutdown command."""
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
@@ -701,7 +719,8 @@ def serve_stdio(packed, config, warm_lengths=(), stdin=None, stdout=None,
         print(f"swtpu serve: {msg}", file=stderr, flush=True)
 
     t0 = time.perf_counter()
-    srv = SearchServer(packed, config, max_top_k=max_top_k)
+    srv = SearchServer(packed, config, max_top_k=max_top_k,
+                       max_query_len=max_query_len)
     if warm_lengths:
         dt = srv._warm(warm_lengths)
         log(f"warmed {len(warm_lengths)} query lengths in {dt:.1f}s")

@@ -846,3 +846,19 @@ def test_request_timeout_in_flight_discards(packed):
 def test_http_status_map_has_timeout():
     from swimm_tpu.server import _HTTP_STATUS
     assert _HTTP_STATUS["timeout"] == 504
+
+
+def test_max_query_len_guard(packed):
+    srv = SearchServer(packed, _cfg(), max_query_len=50)
+    q = synth_queries(1, [80], seed=38)[0]
+    resp = srv.handle({"id": 1, "queries": [
+        {"title": "long", "seq": decode(q.codes)}]})
+    assert resp["error_kind"] == "bad_request"
+    assert "80 aa" in resp["error"] and "maximum 50" in resp["error"]
+    short = synth_queries(1, [40], seed=38)[0]
+    ok = srv.handle({"queries": [{"title": "s", "seq": decode(short.codes)}]})
+    assert "error" not in ok
+    # default: unlimited
+    srv2 = SearchServer(packed, _cfg())
+    assert "error" not in srv2.handle(
+        {"queries": [{"title": "long", "seq": decode(q.codes)}]})
