@@ -240,6 +240,13 @@ def test_cli_listen_flag_validation(tmp_path):
         rc = main(["serve", "-d", str(tmp_path / "p"),
                    "--backend", "xla", "--listen", bad])
         assert rc == 2
+    # r5 flags: each names its conflict/constraint and exits 2
+    for extra in (["--request-timeout", "5"],        # requires --listen
+                  ["--allow-remote-shutdown"],       # requires --listen
+                  ["--listen", "127.0.0.1:0", "--request-timeout", "-1"]):
+        rc = main(["serve", "-d", str(tmp_path / "p"),
+                   "--backend", "xla"] + extra)
+        assert rc == 2, extra
 
 
 def test_handle_m8_format(packed):
