@@ -218,6 +218,24 @@ class SearchServer:
                          self._config)
         return time.perf_counter() - t0
 
+    @staticmethod
+    def _rss_mb():
+        """This process's resident set size in MB (Linux; None elsewhere).
+        Surfaced in `info` so operators can watch server memory — the
+        resident posture measures flat (+2.8 MB over 100 requests), but
+        the experimental axon dev-tunnel PJRT client leaks each H2D
+        transfer's host staging, so a STREAMING server on that tunnel
+        grows by ~DB size per request (BASELINE.md round 5; real-TPU
+        PJRT is expected flat like the CPU control, unverifiable here)."""
+        try:
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        return round(int(line.split()[1]) / 1024.0, 1)
+        except OSError:
+            pass
+        return None
+
     def info(self) -> dict:
         p = self._packed
         c = self._config
@@ -233,6 +251,7 @@ class SearchServer:
             "total_cells": self.total_cells,
             "search_seconds": round(self.search_seconds, 3),
             "uptime_s": round(time.perf_counter() - self._t0, 1),
+            "rss_mb": self._rss_mb(),
         }
 
     def _account(self, n_requests, n_queries, metrics):

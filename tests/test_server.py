@@ -869,3 +869,9 @@ def test_max_query_len_guard(packed):
     srv2 = SearchServer(packed, _cfg())
     assert "error" not in srv2.handle(
         {"queries": [{"title": "long", "seq": decode(q.codes)}]})
+
+
+def test_info_reports_rss(packed):
+    srv = SearchServer(packed, _cfg())
+    info = srv.handle({"cmd": "info"})["info"]
+    assert info["rss_mb"] is None or info["rss_mb"] > 0
