@@ -131,7 +131,9 @@ def run_query(args) -> int:
         # user-error path (ValueError -> `swtpu: error: ...`, exit 2)
         raise ValueError(f"cannot reach server {args.server}: {e}") from e
     if "error" in resp:
-        raise ValueError(f"server error: {resp['error']}")
+        kind = resp.get("error_kind")
+        raise ValueError(
+            f"server error{f' ({kind})' if kind else ''}: {resp['error']}")
     met = resp.get("metrics", {})
     if args.format == "m8":
         for row in resp["m8"]:

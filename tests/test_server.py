@@ -875,3 +875,55 @@ def test_info_reports_rss(packed):
     srv = SearchServer(packed, _cfg())
     info = srv.handle({"cmd": "info"})["info"]
     assert info["rss_mb"] is None or info["rss_mb"] > 0
+
+
+def test_protocol_fuzz_handler_never_raises(packed):
+    """Seeded random-request fuzz of the full handler: any JSON object a
+    client could send must produce a dict reply ('results' or 'error'),
+    never an exception — the invariant every transport loop relies on
+    to keep the resident server up."""
+    rng = np.random.default_rng(99)
+
+    def rand_value(depth=0):
+        kind = rng.integers(0, 9 if depth < 2 else 6)
+        if kind == 0:
+            return int(rng.integers(-(10**9), 10**9))
+        if kind == 1:
+            return float(rng.normal())
+        if kind == 2:
+            return bool(rng.integers(0, 2))
+        if kind == 3:
+            return None
+        if kind == 4:
+            n = int(rng.integers(0, 12))
+            alpha = "ACDEFGHIKLMNPQRSTVWY>*\n\x00é🧬 {}[]"
+            return "".join(alpha[i] for i in
+                           rng.integers(0, len(alpha), size=n))
+        if kind == 5:
+            return ""
+        if kind == 6:
+            return [rand_value(depth + 1)
+                    for _ in range(int(rng.integers(0, 4)))]
+        if kind == 7:
+            return {str(rand_value(2)): rand_value(depth + 1)
+                    for _ in range(int(rng.integers(0, 4)))}
+        return {"seq": rand_value(depth + 1),
+                "title": rand_value(depth + 1)}
+
+    srv = SearchServer(packed, _cfg(), max_top_k=8, max_query_len=64)
+    keys = ["queries", "query_fasta", "top_k", "align", "format", "cmd",
+            "id", "bogus"]
+    served = 0
+    for i in range(300):
+        req = {k: rand_value() for k in
+               rng.choice(keys, size=rng.integers(1, 5), replace=False)}
+        resp = srv.handle(req)      # must never raise
+        assert isinstance(resp, dict)
+        assert "error" in resp or "results" in resp \
+            or "ok" in resp or "info" in resp, req
+        if "results" in resp:
+            served += 1
+    # the server must still work after the barrage
+    q = synth_queries(1, [30], seed=40)[0]
+    ok = srv.handle({"queries": [{"title": "q", "seq": decode(q.codes)}]})
+    assert "error" not in ok
