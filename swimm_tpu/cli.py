@@ -191,8 +191,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="send a query FASTA to a running `swtpu serve --listen` "
              "server and print the results (client-side only: no JAX, "
              "no chip — runs anywhere with a socket)")
-    qy.add_argument("-q", "--query", required=True,
-                    help="query FASTA (gzip transparently supported)")
+    qy.add_argument("-q", "--query", default=None,
+                    help="query FASTA (gzip transparently supported); "
+                         "required unless --cmd is given")
+    qy.add_argument("--cmd", choices=["ping", "info"], default=None,
+                    help="send a server command instead of a search "
+                         "(liveness probe / DB + serving stats incl. "
+                         "rss_mb)")
     qy.add_argument("--server", required=True, metavar="HOST:PORT")
     qy.add_argument("-r", "--top-k", type=int, default=None,
                     help="per-request top-k override (server default "

@@ -115,6 +115,17 @@ def run_query(args) -> int:
     host, sep, port = args.server.rpartition(":")
     if not sep or not port.isdigit():
         raise ValueError(f"--server must be HOST:PORT (got {args.server!r})")
+    if getattr(args, "cmd", None):
+        try:
+            resp = request(host or "127.0.0.1", int(port),
+                           {"cmd": args.cmd}, timeout=args.timeout)
+        except (OSError, TimeoutError) as e:
+            raise ValueError(
+                f"cannot reach server {args.server}: {e}") from e
+        print(json.dumps(resp, indent=1))
+        return 0 if "error" not in resp else 1
+    if not args.query:
+        raise ValueError("either -q/--query FASTA or --cmd is required")
     text = _read_text(args.query)
     req = {"query_fasta": text}
     if args.top_k is not None:

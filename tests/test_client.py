@@ -124,3 +124,23 @@ def test_query_lengths_parser():
     from swimm_tpu.client import _query_lengths
     text = ">a one\nMKV LM\nACD\n>b\n\n>c two\nWWWW*\n"
     assert _query_lengths(text) == {"a one": 8, "b": 0, "c two": 5}
+
+
+def test_query_cmd_ping_and_info(served, capsys):
+    from swimm_tpu.cli import main
+    packed, port = served
+    rc = main(["query", "--cmd", "ping", "--server", f"127.0.0.1:{port}"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["ok"] is True
+    rc = main(["query", "--cmd", "info", "--server", f"127.0.0.1:{port}"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)["info"]
+    assert info["n_seqs"] == packed.n_seqs
+    assert info["rss_mb"] is None or info["rss_mb"] > 0
+
+
+def test_query_requires_fasta_or_cmd(served):
+    from swimm_tpu.cli import main
+    _, port = served
+    rc = main(["query", "--server", f"127.0.0.1:{port}"])
+    assert rc == 2     # friendly error, not a traceback
