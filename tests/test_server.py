@@ -927,3 +927,80 @@ def test_protocol_fuzz_handler_never_raises(packed):
     q = synth_queries(1, [30], seed=40)[0]
     ok = srv.handle({"queries": [{"title": "q", "seq": decode(q.codes)}]})
     assert "error" not in ok
+
+
+def test_bucket_k_properties():
+    """For every (k, default, max) in range: bucket >= k (prefix
+    truncation exact), bucket <= max, and the set of distinct buckets a
+    full k sweep can produce is O(log max) + the default."""
+    from swimm_tpu.server import _bucket_k
+    for default in (1, 4, 16, 100):
+        for max_k in (default, 64, 1000):
+            if max_k < default:
+                continue
+            seen = set()
+            for k in range(1, max_k + 1):
+                b = _bucket_k(k, default, max_k)
+                assert k <= b <= max_k, (k, default, max_k, b)
+                seen.add(b)
+            import math
+            assert len(seen) <= math.ceil(math.log2(max_k)) + 2, \
+                (default, max_k, sorted(seen))
+
+
+def test_socket_mixed_traffic_stress(packed):
+    """8 concurrent TCP connections interleaving good searches,
+    malformed typed requests, oversized top_k, and unknown cmds: every
+    line gets a JSON reply on its own connection (no drops, no
+    cross-talk), and good requests still return correct results."""
+    import socket
+    import threading
+
+    from swimm_tpu.server import make_socket_server
+
+    Server, Handler, srv, batcher = make_socket_server(
+        packed, _cfg(), max_top_k=8)
+    tcp = Server(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=tcp.serve_forever,
+                         kwargs={"poll_interval": 0.05}, daemon=True)
+    t.start()
+    port = tcp.server_address[1]
+    q = synth_queries(1, [36], seed=41)[0]
+    good = {"queries": [{"title": "g", "seq": decode(q.codes)}]}
+    bads = MALFORMED + [{"queries": [{"seq": "ACD"}], "top_k": 9999},
+                        {"cmd": "restart"}]
+    results = [None] * 8
+
+    def client(i):
+        with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            got = []
+            for j in range(6):
+                req = dict(good if (i + j) % 2 == 0 else
+                           bads[(i + j) % len(bads)])
+                req["id"] = i * 100 + j
+                f.write(json.dumps(req) + "\n")
+                f.flush()
+                got.append(json.loads(f.readline()))
+            results[i] = got
+
+    try:
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=180)
+        direct = SearchServer(packed, _cfg()).handle(good)
+        for i, got in enumerate(results):
+            assert got is not None, f"client {i} hung"
+            for j, resp in enumerate(got):
+                assert resp["id"] == i * 100 + j        # no cross-talk
+                if (i + j) % 2 == 0:
+                    assert "error" not in resp, resp
+                    assert resp["results"] == direct["results"]
+                else:
+                    assert "error" in resp and "error_kind" in resp
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+        batcher.stop()
